@@ -1,0 +1,263 @@
+"""Folder scan + chunking driver + version-index construction.
+
+Mirrors the semantics of the reference pipeline
+(``Longtail_GetFilesRecursively2`` src/longtail.c:1656, ``ChunkAssets`` :2343,
+``Longtail_CreateVersionIndex`` :2808) with a batched execution model:
+
+- every file is split into independent parts of ``target_chunk_size * 1024``
+  bytes (src/longtail.c:2396-2404), each part chunked with HPCDC bounds
+  (min, avg, max) = (target/8, target/2, target*2) clamped to the 48-byte
+  window (:1985-1987);
+- chunk payloads are hashed in bulk through the batched hasher (lanes of
+  padded chunks) instead of one HashBuffer call per chunk;
+- per-asset content hash = hash of the asset's chunk-hash array bytes
+  (:2518-2537); asset path hash = hash of the utf-8 path (:1269-1279).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from longtail_tpu.formats.constants import (
+    CHUNKER_WINDOW_SIZE,
+    chunker_params_from_target,
+)
+from longtail_tpu.formats.version_index import VersionIndex
+from longtail_tpu.ops import cdc
+from longtail_tpu.ops.hash_registry import get_hasher
+from longtail_tpu.stores.storage import Storage, walk_files
+from longtail_tpu.utils.progress import null_progress
+
+
+@dataclasses.dataclass
+class FileInfos:
+    """Scan result (Longtail_FileInfos, src/longtail.h:1684-1692).
+    Directory entries end with '/' and have size 0."""
+    paths: list[str]
+    sizes: np.ndarray        # u64
+    permissions: np.ndarray  # u16
+
+    @property
+    def count(self) -> int:
+        return len(self.paths)
+
+    @classmethod
+    def from_entries(cls, entries: list[tuple[str, int, int]]) -> "FileInfos":
+        return cls(
+            paths=[e[0] for e in entries],
+            sizes=np.array([e[1] for e in entries], dtype=np.uint64),
+            permissions=np.array([e[2] for e in entries], dtype=np.uint16),
+        )
+
+
+def get_files_recursively(storage: Storage, root: str,
+                          path_filter=None) -> FileInfos:
+    return FileInfos.from_entries(list(walk_files(storage, root, path_filter)))
+
+
+# ---------------------------------------------------------------------------
+# bulk chunk hashing: bucket variable-length chunks into padded lane batches
+# ---------------------------------------------------------------------------
+
+_LEAF = 1024
+
+
+def hash_chunk_batch(hasher, part_data: np.ndarray,
+                     offsets: np.ndarray, sizes: np.ndarray,
+                     xp=np) -> np.ndarray:
+    """Hash chunks [offsets[i], offsets[i]+sizes[i]) of part_data.
+
+    Buckets chunks by padded length (next multiple of 1 KiB) so each bucket is
+    a static-shape (lanes, padded) batch — the shape discipline the TPU
+    pipeline needs, also used host-side.
+    """
+    n = len(sizes)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    sizes = np.asarray(sizes, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    padded = np.maximum((sizes + _LEAF - 1) // _LEAF, 1) * _LEAF
+    # round padded up to the next power-of-two leaf count to bound bucket count
+    leaves = padded // _LEAF
+    pow2 = np.uint64(1) << np.uint64(np.ceil(np.log2(
+        np.maximum(leaves, 1))).astype(np.uint64))
+    padded = (pow2 * _LEAF).astype(np.int64)
+    for cls_size in np.unique(padded):
+        idx = np.flatnonzero(padded == cls_size)
+        batch = np.zeros((len(idx), int(cls_size)), dtype=np.uint8)
+        for row, i in enumerate(idx):
+            o, s = offsets[i], sizes[i]
+            batch[row, :s] = part_data[o:o + s]
+        out[idx] = np.asarray(hasher.hash_chunks(batch, sizes[idx], xp=xp))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chunking driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ChunkedAssets:
+    """Per-asset chunk streams, pre-dedup (ChunkAssetsData analog)."""
+    chunk_hashes: np.ndarray   # u64[total]
+    chunk_sizes: np.ndarray    # u32[total]
+    chunk_tags: np.ndarray     # u32[total]
+    asset_chunk_counts: np.ndarray  # u32[asset_count]
+    asset_chunk_start_index: np.ndarray  # u32[asset_count]
+    path_hashes: np.ndarray    # u64[asset_count]
+    content_hashes: np.ndarray  # u64[asset_count]
+
+
+def _chunk_one_asset(storage, root: str, path: str, size: int,
+                     target_chunk_size: int, hasher, xp):
+    """Chunk + hash a single asset, part by part. Returns (hashes, sizes)."""
+    min_s, avg_s, max_s = chunker_params_from_target(target_chunk_size)
+    max_part = target_chunk_size * 1024
+    full_path = f"{root}/{path}" if root else path
+    all_hashes = []
+    all_sizes = []
+    pos = 0
+    while pos < size:
+        part_size = min(max_part, size - pos)
+        data = np.frombuffer(
+            storage.read(full_path, pos, part_size), dtype=np.uint8)
+        if part_size <= CHUNKER_WINDOW_SIZE:
+            # whole part is one chunk (DynamicChunking small-part path,
+            # src/longtail.c:2053-2115)
+            ends = np.array([part_size], dtype=np.int64)
+        else:
+            ends = cdc.chunk_part(data, min_s, avg_s, max_s)
+        starts = np.concatenate([[0], ends[:-1]])
+        sizes = (ends - starts).astype(np.int64)
+        hashes = hash_chunk_batch(hasher, data, starts, sizes, xp=xp)
+        all_hashes.append(hashes)
+        all_sizes.append(sizes.astype(np.uint32))
+        pos += part_size
+    if not all_hashes:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32))
+    return (np.concatenate(all_hashes), np.concatenate(all_sizes))
+
+
+def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
+                 hash_identifier: int, target_chunk_size: int,
+                 asset_tags: np.ndarray | None = None,
+                 workers: int | None = None, xp=np,
+                 progress=null_progress) -> ChunkedAssets:
+    hasher = get_hasher(hash_identifier)
+    count = file_infos.count
+
+    path_hashes = np.array(
+        [hasher.hash_buffer(p.encode("utf-8")) for p in file_infos.paths],
+        dtype=np.uint64) if count else np.zeros(0, dtype=np.uint64)
+
+    results: list = [None] * count
+
+    def work(i: int):
+        results[i] = _chunk_one_asset(
+            storage, root, file_infos.paths[i], int(file_infos.sizes[i]),
+            target_chunk_size, hasher, xp)
+        progress(i + 1, count)
+
+    if workers and workers > 1 and count > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(work, range(count)))
+    else:
+        for i in range(count):
+            work(i)
+
+    counts = np.array([len(r[0]) for r in results], dtype=np.uint32)
+    starts = np.zeros(count, dtype=np.uint32)
+    if count:
+        np.cumsum(counts[:-1], out=starts[1:])
+    total = int(counts.sum())
+    chunk_hashes = np.concatenate([r[0] for r in results]) if count \
+        else np.zeros(0, dtype=np.uint64)
+    chunk_sizes = np.concatenate([r[1] for r in results]) if count \
+        else np.zeros(0, dtype=np.uint32)
+    if asset_tags is not None:
+        chunk_tags = np.repeat(np.asarray(asset_tags, dtype=np.uint32), counts)
+    else:
+        chunk_tags = np.zeros(total, dtype=np.uint32)
+
+    # content hash = hash of the asset's chunk-hash bytes (src/longtail.c:2531)
+    content_hashes = np.array([
+        hasher.hash_buffer(
+            chunk_hashes[starts[i]:starts[i] + counts[i]]
+            .astype("<u8").tobytes())
+        for i in range(count)
+    ], dtype=np.uint64) if count else np.zeros(0, dtype=np.uint64)
+
+    return ChunkedAssets(
+        chunk_hashes=chunk_hashes, chunk_sizes=chunk_sizes,
+        chunk_tags=chunk_tags, asset_chunk_counts=counts,
+        asset_chunk_start_index=starts, path_hashes=path_hashes,
+        content_hashes=content_hashes)
+
+
+# ---------------------------------------------------------------------------
+# version index construction
+# ---------------------------------------------------------------------------
+
+def build_name_data(paths: list[str]) -> tuple[np.ndarray, bytes]:
+    offsets = np.zeros(len(paths), dtype=np.uint32)
+    blob = bytearray()
+    for i, p in enumerate(paths):
+        offsets[i] = len(blob)
+        blob += p.encode("utf-8") + b"\0"
+    return offsets, bytes(blob)
+
+
+def create_version_index(storage: Storage, root: str,
+                         file_infos: FileInfos | None = None,
+                         hash_identifier: int | None = None,
+                         target_chunk_size: int = 32768,
+                         asset_tags: np.ndarray | None = None,
+                         workers: int | None = None, xp=np,
+                         path_filter=None,
+                         progress=null_progress) -> VersionIndex:
+    """Longtail_CreateVersionIndex (src/longtail.c:2808)."""
+    from longtail_tpu.formats.constants import HASH_TYPE_BLAKE3
+    if hash_identifier is None:
+        hash_identifier = HASH_TYPE_BLAKE3
+    if file_infos is None:
+        file_infos = get_files_recursively(storage, root, path_filter)
+
+    ca = chunk_assets(storage, root, file_infos, hash_identifier,
+                      target_chunk_size, asset_tags, workers, xp, progress)
+
+    # dedup chunks preserving first-occurrence order (src/longtail.c:2949-2972)
+    uniq_hashes, first_idx, inverse = np.unique(
+        ca.chunk_hashes, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    # remap so unique chunks appear in first-occurrence order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    asset_chunk_indexes = rank[inverse].astype(np.uint32)
+    chunk_hashes = uniq_hashes[order]
+    chunk_sizes = ca.chunk_sizes[first_idx[order]] if len(order) \
+        else np.zeros(0, dtype=np.uint32)
+    chunk_tags = ca.chunk_tags[first_idx[order]] if len(order) \
+        else np.zeros(0, dtype=np.uint32)
+
+    name_offsets, name_data = build_name_data(file_infos.paths)
+
+    return VersionIndex(
+        hash_identifier=hash_identifier,
+        target_chunk_size=target_chunk_size,
+        path_hashes=ca.path_hashes,
+        content_hashes=ca.content_hashes,
+        asset_sizes=file_infos.sizes.astype("<u8"),
+        asset_chunk_counts=ca.asset_chunk_counts,
+        asset_chunk_index_starts=ca.asset_chunk_start_index,
+        asset_chunk_indexes=asset_chunk_indexes,
+        chunk_hashes=chunk_hashes.astype("<u8"),
+        chunk_sizes=chunk_sizes.astype("<u4"),
+        chunk_tags=chunk_tags.astype("<u4"),
+        name_offsets=name_offsets,
+        permissions=file_infos.permissions.astype("<u2"),
+        name_data=name_data,
+    )

@@ -1,0 +1,89 @@
+"""Hash providers keyed by type identifier (the reference's HashAPI +
+hash-registry seam, src/longtail.h:209-246,
+lib/hashregistry/longtail_full_hash_registry.c:10-40).
+
+Every provider produces the longtail 64-bit hash: the first 8 bytes of the
+underlying digest interpreted little-endian.  ``hash_buffer`` is the scalar
+host path (paths, hash-of-hashes); ``hash_chunks`` is the bulk batched path
+used by the chunking pipeline (lanes of padded chunk bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from longtail_tpu.formats.constants import (
+    HASH_TYPE_BLAKE2,
+    HASH_TYPE_BLAKE3,
+    HASH_TYPE_MEOW,
+)
+from longtail_tpu.ops import blake3 as _blake3
+
+
+class Blake3Hasher:
+    """BLAKE3 (default): lib/blake3/longtail_blake3.c."""
+
+    identifier = HASH_TYPE_BLAKE3
+
+    def hash_buffer(self, data: bytes) -> int:
+        return _blake3.hash64(data)
+
+    def hash_chunks(self, data_u8: np.ndarray, lengths: np.ndarray,
+                    xp=np) -> np.ndarray:
+        return _blake3.hash_chunks(data_u8, lengths, xp=xp)
+
+
+class Blake2Hasher:
+    """BLAKE2s with an 8-byte digest (lib/blake2/longtail_blake2.c:43
+    ``blake2s_init(state, sizeof(uint64_t))``)."""
+
+    identifier = HASH_TYPE_BLAKE2
+
+    def hash_buffer(self, data: bytes) -> int:
+        d = hashlib.blake2s(data, digest_size=8).digest()
+        return int.from_bytes(d, "little")
+
+    def hash_chunks(self, data_u8: np.ndarray, lengths: np.ndarray,
+                    xp=np) -> np.ndarray:
+        # Host loop fallback; a lane-batched BLAKE2s kernel mirrors blake3's
+        # structure and lands with the TPU pipeline work.
+        out = np.zeros(len(lengths), dtype=np.uint64)
+        data_np = np.asarray(data_u8)
+        for i, ln in enumerate(np.asarray(lengths)):
+            out[i] = self.hash_buffer(bytes(data_np[i, :int(ln)]))
+        return out
+
+
+class MeowHasher:
+    """MeowHash (AES-round based).  The reference itself drops this on
+    non-x64 targets (CHANGELOG 0.4.0 arm64 note); we implement the AES round
+    in software.  Not yet implemented -> raises, registry treats as optional.
+    """
+
+    identifier = HASH_TYPE_MEOW
+
+    def hash_buffer(self, data: bytes) -> int:
+        raise NotImplementedError("meowhash provider not yet implemented")
+
+    def hash_chunks(self, data_u8, lengths, xp=np):
+        raise NotImplementedError("meowhash provider not yet implemented")
+
+
+_REGISTRY = {
+    HASH_TYPE_BLAKE3: Blake3Hasher(),
+    HASH_TYPE_BLAKE2: Blake2Hasher(),
+    HASH_TYPE_MEOW: MeowHasher(),
+}
+
+
+def get_hasher(identifier: int):
+    try:
+        return _REGISTRY[identifier]
+    except KeyError:
+        raise KeyError(f"no hash provider registered for {identifier:#x}")
+
+
+def register_hasher(hasher) -> None:
+    _REGISTRY[hasher.identifier] = hasher

@@ -1,0 +1,335 @@
+"""StorageAPI: filesystem abstraction (reference src/longtail.h:364-393).
+
+Two implementations, mirroring the reference seam:
+
+- ``FSStorage``: the real filesystem (lib/filestorage/longtail_filestorage.c)
+- ``MemStorage``: complete in-memory filesystem used as the test fake
+  (lib/memstorage/longtail_memstorage.c)
+
+Paths use "/" separators.  Directory paths may carry a trailing "/" (the
+reference convention for dir assets in FileInfos).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import errno
+import os
+import stat as stat_mod
+import threading
+from typing import Iterator, Protocol
+
+
+class StorageError(OSError):
+    pass
+
+
+def _raise(err: int, path: str):
+    raise StorageError(err, os.strerror(err), path)
+
+
+class Storage(Protocol):
+    def read(self, path: str, offset: int = 0, size: int | None = None) -> bytes: ...
+    def write(self, path: str, data: bytes, offset: int = 0) -> None: ...
+    def open_append(self, path: str) -> None: ...
+    def get_size(self, path: str) -> int: ...
+    def set_size(self, path: str, size: int) -> None: ...
+    def exists(self, path: str) -> bool: ...
+    def is_dir(self, path: str) -> bool: ...
+    def create_dir(self, path: str) -> None: ...
+    def remove_file(self, path: str) -> None: ...
+    def remove_dir(self, path: str) -> None: ...
+    def rename(self, src: str, dst: str) -> None: ...
+    def list_dir(self, path: str) -> list[str]: ...
+    def get_permissions(self, path: str) -> int: ...
+    def set_permissions(self, path: str, permissions: int) -> None: ...
+    def lock_file(self, path: str): ...
+    def unlock_file(self, handle) -> None: ...
+
+
+def ensure_parent_dirs(storage: Storage, path: str) -> None:
+    parent = path.rsplit("/", 1)[0] if "/" in path else ""
+    if not parent or storage.is_dir(parent):
+        return
+    ensure_parent_dirs(storage, parent)
+    try:
+        storage.create_dir(parent)
+    except StorageError as e:
+        if e.errno != errno.EEXIST:
+            raise
+
+
+class FSStorage:
+    """Real filesystem rooted at an optional base directory."""
+
+    def __init__(self, base: str = ""):
+        self.base = base
+
+    def _p(self, path: str) -> str:
+        return os.path.join(self.base, path) if self.base else path
+
+    def read(self, path: str, offset: int = 0, size: int | None = None) -> bytes:
+        with open(self._p(path), "rb") as f:
+            if offset:
+                f.seek(offset)
+            return f.read(size) if size is not None else f.read()
+
+    def write(self, path: str, data: bytes, offset: int = 0) -> None:
+        p = self._p(path)
+        mode = "r+b" if offset and os.path.exists(p) else ("r+b" if offset else "wb")
+        if offset:
+            with open(p, "r+b") as f:
+                f.seek(offset)
+                f.write(data)
+        else:
+            with open(p, "wb") as f:
+                f.write(data)
+
+    def write_ranges(self, path: str, total_size: int,
+                     ranges: list[tuple[int, bytes]]) -> None:
+        """Random-access scatter writes (ConcurrentChunkWriteAPI analog,
+        src/longtail.h:464-472): pre-size the file, write each (offset, data)."""
+        p = self._p(path)
+        with open(p, "a+b"):
+            pass
+        with open(p, "r+b") as f:
+            f.truncate(total_size)
+            for off, data in ranges:
+                f.seek(off)
+                f.write(data)
+
+    def get_size(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+    def set_size(self, path: str, size: int) -> None:
+        with open(self._p(path), "r+b") as f:
+            f.truncate(size)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def create_dir(self, path: str) -> None:
+        try:
+            os.mkdir(self._p(path))
+        except FileExistsError:
+            _raise(errno.EEXIST, path)
+
+    def remove_file(self, path: str) -> None:
+        os.unlink(self._p(path))
+
+    def remove_dir(self, path: str) -> None:
+        os.rmdir(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(self._p(src), self._p(dst))
+
+    def list_dir(self, path: str) -> list[str]:
+        return sorted(os.listdir(self._p(path)))
+
+    def get_permissions(self, path: str) -> int:
+        return stat_mod.S_IMODE(os.stat(self._p(path)).st_mode)
+
+    def set_permissions(self, path: str, permissions: int) -> None:
+        os.chmod(self._p(path), permissions)
+
+    def lock_file(self, path: str):
+        """Inter-process advisory lock (Longtail_LockFile,
+        lib/longtail_platform.h:88-91)."""
+        import fcntl
+        fd = os.open(self._p(path), os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        return fd
+
+    def unlock_file(self, handle) -> None:
+        import fcntl
+        fcntl.flock(handle, fcntl.LOCK_UN)
+        os.close(handle)
+
+
+@dataclasses.dataclass
+class _MemEntry:
+    data: bytearray | None  # None => directory
+    permissions: int = 0o644
+
+
+class MemStorage:
+    """In-memory filesystem fake (lib/memstorage/longtail_memstorage.c).
+
+    Thread-safe via one lock (the reference uses a spinlock per API)."""
+
+    def __init__(self):
+        self._entries: dict[str, _MemEntry] = {}
+        self._lock = threading.RLock()
+        self._file_locks: dict[str, threading.Lock] = {}
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.strip("/")
+
+    def read(self, path: str, offset: int = 0, size: int | None = None) -> bytes:
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None or e.data is None:
+                _raise(errno.ENOENT, path)
+            end = len(e.data) if size is None else offset + size
+            return bytes(e.data[offset:end])
+
+    def write(self, path: str, data: bytes, offset: int = 0) -> None:
+        with self._lock:
+            key = self._norm(path)
+            e = self._entries.get(key)
+            if e is None:
+                e = _MemEntry(data=bytearray())
+                self._entries[key] = e
+            if e.data is None:
+                _raise(errno.EISDIR, path)
+            if offset == 0 and len(e.data) and offset + len(data) >= len(e.data):
+                e.data = bytearray(data)
+                return
+            if offset + len(data) > len(e.data):
+                e.data.extend(b"\0" * (offset + len(data) - len(e.data)))
+            e.data[offset:offset + len(data)] = data
+
+    def write_ranges(self, path: str, total_size: int,
+                     ranges: list[tuple[int, bytes]]) -> None:
+        with self._lock:
+            key = self._norm(path)
+            e = self._entries.get(key)
+            if e is None:
+                e = _MemEntry(data=bytearray(total_size))
+                self._entries[key] = e
+            if e.data is None:
+                _raise(errno.EISDIR, path)
+            if len(e.data) != total_size:
+                e.data = bytearray(e.data[:total_size]) + \
+                    bytearray(total_size - min(total_size, len(e.data)))
+            for off, data in ranges:
+                e.data[off:off + len(data)] = data
+
+    def get_size(self, path: str) -> int:
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None or e.data is None:
+                _raise(errno.ENOENT, path)
+            return len(e.data)
+
+    def set_size(self, path: str, size: int) -> None:
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None or e.data is None:
+                _raise(errno.ENOENT, path)
+            del e.data[size:]
+            if len(e.data) < size:
+                e.data.extend(b"\0" * (size - len(e.data)))
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return self._norm(path) in self._entries
+
+    def is_dir(self, path: str) -> bool:
+        with self._lock:
+            key = self._norm(path)
+            if key == "":
+                return True
+            e = self._entries.get(key)
+            return e is not None and e.data is None
+
+    def create_dir(self, path: str) -> None:
+        with self._lock:
+            key = self._norm(path)
+            if key in self._entries:
+                if self._entries[key].data is None:
+                    _raise(errno.EEXIST, path)
+                _raise(errno.ENOTDIR, path)
+            self._entries[key] = _MemEntry(data=None, permissions=0o755)
+
+    def remove_file(self, path: str) -> None:
+        with self._lock:
+            key = self._norm(path)
+            e = self._entries.get(key)
+            if e is None or e.data is None:
+                _raise(errno.ENOENT, path)
+            del self._entries[key]
+
+    def remove_dir(self, path: str) -> None:
+        with self._lock:
+            key = self._norm(path)
+            e = self._entries.get(key)
+            if e is None or e.data is not None:
+                _raise(errno.ENOENT, path)
+            prefix = key + "/"
+            if any(k.startswith(prefix) for k in self._entries):
+                _raise(errno.ENOTEMPTY, path)
+            del self._entries[key]
+
+    def rename(self, src: str, dst: str) -> None:
+        with self._lock:
+            skey, dkey = self._norm(src), self._norm(dst)
+            e = self._entries.pop(skey, None)
+            if e is None:
+                _raise(errno.ENOENT, src)
+            self._entries[dkey] = e
+
+    def list_dir(self, path: str) -> list[str]:
+        with self._lock:
+            key = self._norm(path)
+            prefix = key + "/" if key else ""
+            if key and not self.is_dir(path):
+                _raise(errno.ENOENT, path)
+            names = set()
+            for k in self._entries:
+                if k.startswith(prefix) and k != key:
+                    rest = k[len(prefix):]
+                    names.add(rest.split("/", 1)[0])
+            return sorted(names)
+
+    def get_permissions(self, path: str) -> int:
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None:
+                _raise(errno.ENOENT, path)
+            return e.permissions
+
+    def set_permissions(self, path: str, permissions: int) -> None:
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None:
+                _raise(errno.ENOENT, path)
+            e.permissions = permissions
+
+    def lock_file(self, path: str):
+        with self._lock:
+            lock = self._file_locks.setdefault(self._norm(path), threading.Lock())
+        lock.acquire()
+        return lock
+
+    def unlock_file(self, handle) -> None:
+        handle.release()
+
+
+def walk_files(storage: Storage, root: str,
+               path_filter=None) -> Iterator[tuple[str, int, int]]:
+    """Yield (relative_path, size, permissions); dirs end with '/', size 0.
+
+    Deterministic (sorted) traversal; the reference scans with parallel jobs
+    and leaves order unspecified (Longtail_GetFilesRecursively2,
+    src/longtail.c:1656), so sorted order is a superset guarantee.
+    """
+    def recurse(rel: str):
+        full = f"{root}/{rel}" if rel else root
+        for name in storage.list_dir(full):
+            child_rel = f"{rel}/{name}" if rel else name
+            child_full = f"{root}/{child_rel}"
+            if storage.is_dir(child_full):
+                dir_path = child_rel + "/"
+                if path_filter is None or path_filter(dir_path):
+                    yield (dir_path, 0, storage.get_permissions(child_full))
+                    yield from recurse(child_rel)
+            else:
+                if path_filter is None or path_filter(child_rel):
+                    yield (child_rel, storage.get_size(child_full),
+                           storage.get_permissions(child_full))
+    yield from recurse("")

@@ -1,0 +1,67 @@
+"""Hash conformance: anchored to the reference C library's known-answer
+vectors (test/test.cpp:452-488) plus scalar/batched cross-checks."""
+
+import numpy as np
+import pytest
+
+from longtail_tpu.ops import blake3 as b3
+from longtail_tpu.ops.hash_registry import get_hasher
+from longtail_tpu.formats.constants import (
+    HASH_TYPE_BLAKE2, HASH_TYPE_BLAKE3, HASH_TYPE_MEOW, fourcc)
+
+KAT_INPUT = (b"This is the first test string which is fairly long and should "
+             b"- reconstructed properly, than you very much\x00")
+
+
+def test_fourcc():
+    assert fourcc("blk3") == (ord("b") << 24) + (ord("l") << 16) + \
+        (ord("k") << 8) + ord("3")
+
+
+def test_blake3_known_answer():
+    # test/test.cpp:465-475
+    assert get_hasher(HASH_TYPE_BLAKE3).hash_buffer(KAT_INPUT) == 0xd38bbe79f1f03fda
+
+
+def test_blake2_known_answer():
+    # test/test.cpp:452-463
+    assert get_hasher(HASH_TYPE_BLAKE2).hash_buffer(KAT_INPUT) == 0xd336e5afa4fa1f4d
+
+
+def test_blake3_empty_vector():
+    # official BLAKE3 empty-input test vector (first 16 bytes)
+    assert b3.blake3(b"").hex().startswith("af1349b9f5f9a1a6a0404dea36dcc949")
+
+
+@pytest.mark.parametrize("sizes", [
+    [0, 1, 63, 64, 65, 1023, 1024, 1025],
+    [2048, 3072, 4096, 5000, 8192, 10240],
+    [16384, 65536, 65535, 65537 - 2, 131072],
+])
+def test_blake3_batched_matches_scalar(sizes):
+    rng = np.random.default_rng(42)
+    maxpad = 1024 * max(1, (max(sizes) + 1023) // 1024)
+    data = np.zeros((len(sizes), maxpad), dtype=np.uint8)
+    for i, s in enumerate(sizes):
+        data[i, :s] = rng.integers(0, 256, s, dtype=np.uint8)
+    got = b3.hash_chunks(data, np.array(sizes), xp=np)
+    want = np.array([b3.hash64(bytes(data[i, :s]))
+                     for i, s in enumerate(sizes)], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_blake3_batched_jax():
+    import jax.numpy as jnp
+    sizes = [0, 100, 1024, 4000, 8192]
+    rng = np.random.default_rng(7)
+    data = np.zeros((len(sizes), 8192), dtype=np.uint8)
+    for i, s in enumerate(sizes):
+        data[i, :s] = rng.integers(0, 256, s, dtype=np.uint8)
+    got = np.asarray(b3.hash_chunks(jnp.asarray(data), jnp.asarray(sizes), xp=jnp))
+    want = b3.hash_chunks(data, np.array(sizes), xp=np)
+    assert np.array_equal(got, want)
+
+
+def test_meow_not_implemented_yet():
+    with pytest.raises(NotImplementedError):
+        get_hasher(HASH_TYPE_MEOW).hash_buffer(b"x")
