@@ -1,0 +1,94 @@
+"""Content writer (upload): assemble missing blocks from source assets and
+put them into a block store.
+
+Mirrors Longtail_WriteContent (src/longtail.c:4760) + WriteContentBlockJob
+(:4559) + CreateAssetPartLookup (:4429): each block's chunks are read from
+the first asset that contains them, at the byte offset implied by the asset's
+chunk sequence.  Host-side parallelism via a thread pool (the analog of one
+bikeshed job per block); the reference's EBUSY suspend/resume seam maps to
+synchronous puts here because our stores are synchronous.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from longtail_tpu.formats.store_index import StoreIndex, StoredBlock
+from longtail_tpu.formats.version_index import VersionIndex
+from longtail_tpu.stores.storage import Storage
+from longtail_tpu.utils.cancel import check
+from longtail_tpu.utils.progress import null_progress
+
+
+def create_asset_part_lookup(version_index: VersionIndex):
+    """chunk hash -> (asset_index, byte_offset, size, tag); first asset wins
+    (CreateAssetPartLookup, src/longtail.c:4429)."""
+    lookup: dict[int, tuple[int, int, int]] = {}
+    for a in range(version_index.asset_count):
+        offset = 0
+        for ci in version_index.asset_chunks(a):
+            h = int(version_index.chunk_hashes[ci])
+            size = int(version_index.chunk_sizes[ci])
+            if h not in lookup:
+                lookup[h] = (a, offset, size)
+            offset += size
+    return lookup
+
+
+def write_content(source_storage: Storage, block_store,
+                  missing_store_index: StoreIndex,
+                  version_index: VersionIndex, version_root: str,
+                  workers: int = 8, cancel_token=None,
+                  progress=null_progress) -> None:
+    """Longtail_WriteContent (src/longtail.c:4760)."""
+    if missing_store_index.block_count == 0:
+        return
+    part_lookup = create_asset_part_lookup(version_index)
+    total = missing_store_index.block_count
+
+    def write_block(b: int) -> None:
+        check(cancel_token)
+        hashes, sizes = missing_store_index.block_chunks(b)
+        parts = bytearray()
+        # group consecutive chunks from the same asset into one read
+        # (WriteContentBlockJob read-range merging, src/longtail.c:4640-4721)
+        pend_asset = -1
+        pend_offset = 0
+        pend_size = 0
+
+        def flush_read():
+            nonlocal pend_size
+            if pend_size:
+                path = version_index.path(pend_asset)
+                full = f"{version_root}/{path}" if version_root else path
+                parts.extend(source_storage.read(full, pend_offset, pend_size))
+                pend_size = 0
+
+        for h, size in zip(hashes, sizes):
+            asset, offset, psize = part_lookup[int(h)]
+            if psize != int(size):
+                raise ValueError(
+                    f"chunk {int(h):#x} size mismatch {psize} != {int(size)}")
+            if asset == pend_asset and offset == pend_offset + pend_size:
+                pend_size += psize
+            else:
+                flush_read()
+                pend_asset, pend_offset, pend_size = asset, offset, psize
+        flush_read()
+        block = StoredBlock(
+            block_index=missing_store_index.get_block_index(b),
+            block_data=bytes(parts))
+        block_store.put_stored_block(block)
+
+    if workers > 1 and total > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            done = 0
+            for _ in pool.map(write_block, range(total)):
+                done += 1
+                progress(done, total)
+    else:
+        for b in range(total):
+            write_block(b)
+            progress(b + 1, total)

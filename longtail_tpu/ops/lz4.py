@@ -1,0 +1,176 @@
+"""LZ4 block-format codec.
+
+The interchange format is the public LZ4 block format (the reference wraps
+upstream lz4 with type tag 'lz42', lib/lz4/longtail_lz4.c:10).  Fast path is
+our native C implementation (longtail_tpu/native/lz4_block.c); this module
+also carries an independently written pure-Python codec used as the
+conformance oracle and as fallback when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+from longtail_tpu import native
+
+_MINMATCH = 4
+_MFLIMIT = 12
+_LASTLITERALS = 5
+_MAX_DISTANCE = 65535
+
+
+def compress_bound(n: int) -> int:
+    return n + n // 255 + 16
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference codec (spec oracle / fallback)
+# ---------------------------------------------------------------------------
+
+def _py_compress(src: bytes) -> bytes:
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+    table: dict[bytes, int] = {}
+    ip = 0
+    match_limit = n - _MFLIMIT if n >= _MFLIMIT else 0
+    skip = 0
+
+    def emit_literals(start: int, end: int, token_match: int) -> None:
+        lit = end - start
+        if lit >= 15:
+            out.append((15 << 4) | token_match)
+            rest = lit - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+        else:
+            out.append((lit << 4) | token_match)
+
+    if n >= _MINMATCH + _LASTLITERALS:
+        while ip < match_limit:
+            key = src[ip:ip + 4]
+            cand = table.get(key)
+            table[key] = ip
+            if cand is None or ip - cand > _MAX_DISTANCE:
+                ip += 1 + (skip >> 6)
+                skip += 1
+                continue
+            skip = 0
+            match = cand
+            # extend backwards
+            while ip > anchor and match > 0 and src[ip - 1] == src[match - 1]:
+                ip -= 1
+                match -= 1
+            # extend forwards
+            fwd_limit = n - _LASTLITERALS
+            mlen = _MINMATCH
+            while ip + mlen < fwd_limit and src[ip + mlen] == src[match + mlen]:
+                mlen += 1
+            mlen_code = mlen - _MINMATCH
+            token_match = 15 if mlen_code >= 15 else mlen_code
+            emit_literals(anchor, ip, token_match)
+            out += src[anchor:ip]
+            offset = ip - match
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            if mlen_code >= 15:
+                rest = mlen_code - 15
+                while rest >= 255:
+                    out.append(255)
+                    rest -= 255
+                out.append(rest)
+            ip += mlen
+            anchor = ip
+    emit_literals(anchor, n, 0)
+    out += src[anchor:]
+    return bytes(out)
+
+
+def _py_decompress(src: bytes, dst_size: int) -> bytes:
+    out = bytearray()
+    ip = 0
+    n = len(src)
+    while ip < n:
+        token = src[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[ip:ip + lit]
+        ip += lit
+        if ip >= n:
+            break
+        offset = src[ip] | (src[ip + 1] << 8)
+        ip += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("lz4: bad offset")
+        mlen = (token & 15) + _MINMATCH
+        if (token & 15) == 15:
+            while True:
+                b = src[ip]
+                ip += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        for i in range(mlen):  # overlapping copies must be byte-forward
+            out.append(out[start + i])
+    if len(out) != dst_size:
+        raise ValueError(f"lz4: decompressed {len(out)} != expected {dst_size}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# native fast path
+# ---------------------------------------------------------------------------
+
+_lib = None
+_lib_checked = False
+
+
+def _native():
+    global _lib, _lib_checked
+    if not _lib_checked:
+        _lib_checked = True
+        lib = native.load("lz4_block", ["lz4_block.c"])
+        if lib is not None:
+            lib.lt_lz4_compress.restype = ctypes.c_long
+            lib.lt_lz4_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+            lib.lt_lz4_decompress.restype = ctypes.c_long
+            lib.lt_lz4_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+        _lib = lib
+    return _lib
+
+
+def compress(src: bytes) -> bytes:
+    lib = _native()
+    if lib is None:
+        return _py_compress(src)
+    cap = compress_bound(len(src))
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.lt_lz4_compress(src, len(src), dst, cap)
+    if r < 0:
+        raise ValueError("lz4: compression overflow")
+    return dst.raw[:r]
+
+
+def decompress(src: bytes, dst_size: int) -> bytes:
+    lib = _native()
+    if lib is None:
+        return _py_decompress(src, dst_size)
+    dst = ctypes.create_string_buffer(dst_size if dst_size else 1)
+    r = lib.lt_lz4_decompress(src, len(src), dst, dst_size)
+    if r != dst_size:
+        raise ValueError(f"lz4: decompressed {r} != expected {dst_size}")
+    return dst.raw[:dst_size]

@@ -3,6 +3,10 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware; bench.py runs on the real chip instead.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent XLA compile cache keeps repeat test runs fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
