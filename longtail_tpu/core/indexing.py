@@ -142,11 +142,53 @@ def _chunk_one_asset(storage, root: str, path: str, size: int,
     return (np.concatenate(all_hashes), np.concatenate(all_sizes))
 
 
+def _chunk_assets_device(storage, root: str, file_infos: FileInfos,
+                         target_chunk_size: int,
+                         progress=null_progress) -> list:
+    """Device data plane: stream every file part through the TPU chunk+hash
+    pipeline (parallel/pipeline.py). Returns the per-asset results list in
+    the same (hashes u64, sizes u32) shape as the host path."""
+    from longtail_tpu.parallel.pipeline import DevicePartIndexer
+
+    indexer = DevicePartIndexer(target_chunk_size)
+    max_part = indexer.part_bytes
+    count = file_infos.count
+    results = [
+        (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32))
+        for _ in range(count)
+    ]
+
+    def parts():
+        for i in range(count):
+            size = int(file_infos.sizes[i])
+            path = file_infos.paths[i]
+            full = f"{root}/{path}" if root else path
+            pos = 0
+            while pos < size:
+                n = min(max_part, size - pos)
+                yield i, np.frombuffer(storage.read(full, pos, n),
+                                       dtype=np.uint8)
+                pos += n
+
+    acc: dict[int, list] = {}
+    done = 0
+    for i, sizes, hashes in indexer.index_stream(parts()):
+        acc.setdefault(i, []).append((hashes, sizes))
+        done += 1
+        progress(min(done, count), count)
+    for i, pieces in acc.items():
+        results[i] = (np.concatenate([p[0] for p in pieces]),
+                      np.concatenate([p[1] for p in pieces]))
+    return results
+
+
 def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
                  hash_identifier: int, target_chunk_size: int,
                  asset_tags: np.ndarray | None = None,
                  workers: int | None = None, xp=np,
                  progress=null_progress) -> ChunkedAssets:
+    from longtail_tpu.formats.constants import HASH_TYPE_BLAKE3
+
     hasher = get_hasher(hash_identifier)
     count = file_infos.count
 
@@ -154,20 +196,25 @@ def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
         [hasher.hash_buffer(p.encode("utf-8")) for p in file_infos.paths],
         dtype=np.uint64) if count else np.zeros(0, dtype=np.uint64)
 
-    results: list = [None] * count
-
-    def work(i: int):
-        results[i] = _chunk_one_asset(
-            storage, root, file_infos.paths[i], int(file_infos.sizes[i]),
-            target_chunk_size, hasher, xp)
-        progress(i + 1, count)
-
-    if workers and workers > 1 and count > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(work, range(count)))
+    if xp is not np and hash_identifier == HASH_TYPE_BLAKE3:
+        # device data plane (chunk scan + resolution + hashing on TPU)
+        results = _chunk_assets_device(
+            storage, root, file_infos, target_chunk_size, progress)
     else:
-        for i in range(count):
-            work(i)
+        results = [None] * count
+
+        def work(i: int):
+            results[i] = _chunk_one_asset(
+                storage, root, file_infos.paths[i], int(file_infos.sizes[i]),
+                target_chunk_size, hasher, xp)
+            progress(i + 1, count)
+
+        if workers and workers > 1 and count > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(work, range(count)))
+        else:
+            for i in range(count):
+                work(i)
 
     counts = np.array([len(r[0]) for r in results], dtype=np.uint32)
     starts = np.zeros(count, dtype=np.uint32)

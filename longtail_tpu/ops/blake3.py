@@ -261,8 +261,11 @@ def hash_chunks_u32(data_u8, lengths, xp=np):
                   for i in range(2)]
         return tuple(h) + tuple(cv_out)
 
-    state = tuple(xp.full((L,), u32(IV[i]), dtype=u32) for i in range(8)) + \
-        tuple(xp.zeros((L,), dtype=u32) for _ in range(2))
+    # derive the carry init from leaf_lenL (itself derived from `lengths`) so
+    # it carries the input's varying-axes type under shard_map; a plain
+    # xp.full init would make the fori_loop carry type mismatch its output
+    vzero = leaf_lenL * u32(0)
+    state = tuple(vzero + u32(IV[i]) for i in range(8)) + (vzero, vzero)
     if xp is np:
         for k in range(blocks_per_leaf):
             state = leaf_block_body(k, state)

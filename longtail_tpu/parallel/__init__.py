@@ -7,9 +7,11 @@ sharding them over a ``jax.sharding.Mesh``:
 
 - ``device_chunker``: single-device jittable chunk+hash step (two-phase CDC
   scan + batched BLAKE3), the data-plane hot loop.
-- ``pipeline``: ``shard_map`` orchestration — data-parallel lanes, sequence-
-  parallel byte streams with ppermute halo exchange, and the global dedup
-  collective (allgather + sort-unique of chunk hashes).
+- ``pipeline``: the streamed production data plane — async two-stage
+  dispatch (resolve, then bucketed gather+hash) with prefetch-threaded file
+  I/O overlap.
+- ``distributed``: multi-chip sharding — ``shard_map`` over a device mesh
+  with the global dedup collective (allgather + sort-unique of chunk hashes).
 """
 
 from longtail_tpu.parallel.device_chunker import (  # noqa: F401
@@ -17,3 +19,4 @@ from longtail_tpu.parallel.device_chunker import (  # noqa: F401
     index_parts,
     make_index_parts_fn,
 )
+from longtail_tpu.parallel.pipeline import DevicePartIndexer  # noqa: F401

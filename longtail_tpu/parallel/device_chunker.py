@@ -20,6 +20,12 @@ lib/hpcdcchunker/longtail_hpcdcchunker.c:289-306):
 
 All shapes are static; the whole step jits to one XLA program. Bit-exactness
 vs the sequential reference walk is enforced by tests/test_parallel.py.
+
+``index_parts`` is the single-dispatch form (gathers every chunk padded to
+max_size — fine for small parts, quadratic-ish waste for big ones). The
+production path for large parts is parallel/pipeline.py, which runs phases
+1-2 in one dispatch and phase 3 as per-size-bucket dispatches so the gather
+buffer is ~2x the payload instead of max_chunks * max_size.
 """
 
 from __future__ import annotations
@@ -102,7 +108,10 @@ def next_candidate_ends(mask, lengths):
     pos = jnp.arange(P, dtype=jnp.int32)
     live = mask & (pos[None, :] < lengths.astype(jnp.int32)[:, None])
     ce = jnp.where(live, pos[None, :] + 1, _BIG)
-    return jax.lax.associative_scan(jnp.minimum, ce, reverse=True, axis=-1)
+    # axis must be positive: reverse=True lowers to lax.rev, whose dimension
+    # list rejects negative axes.
+    return jax.lax.associative_scan(jnp.minimum, ce, reverse=True,
+                                    axis=ce.ndim - 1)
 
 
 def resolve_ends(nexts, lengths, cfg: ChunkerConfig, max_chunks: int):
@@ -130,8 +139,8 @@ def resolve_ends(nexts, lengths, cfg: ChunkerConfig, max_chunks: int):
         e = jnp.where(s < L, e, s)  # finished lanes stay put
         return e, e
 
-    _, ends = jax.lax.scan(step, jnp.zeros((B,), jnp.int32),
-                           None, length=max_chunks)
+    # init derives from L so it carries L's varying-axes type under shard_map
+    _, ends = jax.lax.scan(step, jnp.zeros_like(L), None, length=max_chunks)
     return ends.T  # (B, max_chunks)
 
 
