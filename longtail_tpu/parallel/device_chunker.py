@@ -97,21 +97,48 @@ def candidate_mask(parts_u8, *, discriminator: int):
     return mask & (pos >= WINDOW - 1)
 
 
+def _suffix_min(ce, tile: int = 4096):
+    """Reverse (suffix) cumulative minimum along the last axis, blocked.
+
+    A flat ``associative_scan`` over a multi-MiB axis generates log2(P)
+    recursion levels of odd/even slice+interleave HLO and blows up XLA
+    compile memory (observed: TPU compile-helper OOM at P = 32 MiB).  The
+    blocked form scans within fixed tiles, scans the tile minima, and
+    broadcasts the carry — two small scans instead of one huge one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, P = ce.shape
+    if P <= tile:
+        return jax.lax.associative_scan(jnp.minimum, ce, reverse=True,
+                                        axis=ce.ndim - 1)
+    pad = (-P) % tile
+    if pad:
+        ce = jnp.pad(ce, ((0, 0), (0, pad)), constant_values=_BIG)
+    K = ce.shape[1] // tile
+    x = ce.reshape(B, K, tile)
+    within = jax.lax.associative_scan(jnp.minimum, x, reverse=True, axis=2)
+    # carry[b, k] = min over all tiles strictly right of k
+    tmins = within[:, :, 0]
+    carry = jax.lax.associative_scan(jnp.minimum, tmins, reverse=True, axis=1)
+    carry = jnp.concatenate(
+        [carry[:, 1:], jnp.full((B, 1), _BIG, carry.dtype)], axis=1)
+    out = jnp.minimum(within, carry[:, :, None]).reshape(B, K * tile)
+    return out[:, :P]
+
+
 def next_candidate_ends(mask, lengths):
     """(B, P) mask + (B,) lengths -> (B, P) nexts: nexts[b, q] = smallest
     cut-end p+1 with p >= q and mask[b, p], else _BIG. Candidates at or past
     the part length are suppressed."""
-    import jax
     import jax.numpy as jnp
 
     P = mask.shape[-1]
     pos = jnp.arange(P, dtype=jnp.int32)
     live = mask & (pos[None, :] < lengths.astype(jnp.int32)[:, None])
     ce = jnp.where(live, pos[None, :] + 1, _BIG)
-    # axis must be positive: reverse=True lowers to lax.rev, whose dimension
-    # list rejects negative axes.
-    return jax.lax.associative_scan(jnp.minimum, ce, reverse=True,
-                                    axis=ce.ndim - 1)
+    return _suffix_min(ce)
 
 
 def resolve_ends(nexts, lengths, cfg: ChunkerConfig, max_chunks: int):
