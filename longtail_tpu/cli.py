@@ -16,9 +16,11 @@ import numpy as np
 from longtail_tpu import api
 from longtail_tpu.formats import constants as C
 from longtail_tpu.formats.version_index import VersionIndex
+from longtail_tpu.ops.compression_registry import supported_tags
 from longtail_tpu.stores.compressblockstore import CompressBlockStore
 from longtail_tpu.stores.fsblockstore import FSBlockStore
 from longtail_tpu.stores.storage import FSStorage, ensure_parent_dirs
+from longtail_tpu.utils import log
 from longtail_tpu.utils.progress import RateLimitedProgress
 
 HASH_NAMES = {
@@ -225,7 +227,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--version-index-path", required=True)
     sp.add_argument("source_path")
     sp.add_argument("target_path")
-    sp.set_defaults(fn=lambda a: cmd_cp(_fix_cp_args(a)))
+    sp.set_defaults(fn=cmd_cp)
 
     sp = sub.add_parser("pack", help="pack a folder into one archive file")
     sp.add_argument("--source-path", required=True)
@@ -242,15 +244,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _fix_cp_args(a):
-    a.source_path = a.source_path
-    a.target_path = a.target_path
-    return a
-
-
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    return args.fn(args)
+    p = build_parser()
+    args = p.parse_args(argv)
+    try:
+        log.set_level(args.log_level)
+    except ValueError as e:
+        p.error(str(e))
+    # fail fast on codec tags with no registered implementation (the
+    # reference registry covers all advertised names; until brotli lands we
+    # reject before any chunking work is spent)
+    tag = COMPRESSION_NAMES.get(getattr(args, "compression_algorithm", ""))
+    if tag not in (None, C.COMPRESSION_TYPE_NONE) \
+            and tag not in supported_tags():
+        p.error(f"--compression-algorithm {args.compression_algorithm} "
+                "is not implemented yet (available: none, lz4, zstd*)")
+    with log.log_context(command=args.command):
+        return args.fn(args)
 
 
 if __name__ == "__main__":

@@ -2,9 +2,9 @@
 registry seam, src/longtail.h:266-294,
 lib/compressionregistry/longtail_full_compression_registry.c).
 
-Tag 0 stores raw.  'lz42' is the LZ4 block format.  The zstd family tags
-('ztd1'..'ztd5') map to our zstd-format codec (landing with the entropy-coder
-milestone); until then they raise and callers should pick LZ4.
+Tag 0 stores raw.  'lz42' is the LZ4 block format
+(lib/lz4/longtail_lz4.c:10).  'ztd1'..'ztd5' are the zstd quality tiers
+(lib/zstd/longtail_zstd.c:17-22) backed by our RFC 8878 implementation.
 """
 
 from __future__ import annotations
@@ -23,6 +23,28 @@ class Lz4Codec:
         return lz4.decompress(data, raw_size)
 
 
+class ZstdCodec:
+    """Quality tiers mirror the reference's min/default/max/high/low
+    (lib/zstd/longtail_zstd.c:17-22); level feeds the match-finder effort."""
+
+    tags = (C.COMPRESSION_TYPE_ZSTD_MIN, C.COMPRESSION_TYPE_ZSTD_DEFAULT,
+            C.COMPRESSION_TYPE_ZSTD_MAX, C.COMPRESSION_TYPE_ZSTD_HIGH,
+            C.COMPRESSION_TYPE_ZSTD_LOW)
+    _levels = {C.COMPRESSION_TYPE_ZSTD_LOW: 1,
+               C.COMPRESSION_TYPE_ZSTD_MIN: 2,
+               C.COMPRESSION_TYPE_ZSTD_DEFAULT: 3,
+               C.COMPRESSION_TYPE_ZSTD_HIGH: 9,
+               C.COMPRESSION_TYPE_ZSTD_MAX: 19}
+
+    def compress(self, tag: int, data: bytes) -> bytes:
+        from longtail_tpu.ops import zstd
+        return zstd.compress(data, self._levels.get(tag, 3))
+
+    def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
+        from longtail_tpu.ops import zstd
+        return zstd.decompress(data, raw_size)
+
+
 _CODECS: dict[int, object] = {}
 
 
@@ -32,6 +54,7 @@ def register_codec(codec) -> None:
 
 
 register_codec(Lz4Codec())
+register_codec(ZstdCodec())
 
 
 def get_codec(tag: int):

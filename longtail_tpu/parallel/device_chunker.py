@@ -71,6 +71,26 @@ class ChunkerConfig:
         return -(-self.max_size // _LEAF) * _LEAF
 
 
+def _table_lookup(parts_u8):
+    """(B, P) uint8 -> (B, P) uint32 HPCDC table values, gather-free.
+
+    A 256-entry ``jnp.take`` lowers to a dynamic gather, which is ~40x
+    slower on TPU than ALU work (measured 662 ms vs 18 ms on a 64 MiB
+    stream).  Instead evaluate the LUT as a balanced binary select tree on
+    the byte's bits: 255 ``where``s, pure VPU, fully fusable.
+    """
+    import jax.numpy as jnp
+
+    bits = [((parts_u8 >> np.uint8(i)) & np.uint8(1)).astype(jnp.bool_)
+            for i in range(8)]
+    level = [jnp.uint32(int(v)) for v in HASH_TABLE]
+    for i in range(8):
+        sel = bits[i]
+        level = [jnp.where(sel, level[j + 1], level[j])
+                 for j in range(0, len(level), 2)]
+    return level[0]
+
+
 def candidate_mask(parts_u8, *, discriminator: int):
     """Phase 1: (B, P) uint8 -> (B, P) bool cut-candidate mask.
 
@@ -81,8 +101,7 @@ def candidate_mask(parts_u8, *, discriminator: int):
     import jax.numpy as jnp
 
     u32 = jnp.uint32
-    table = jnp.asarray(HASH_TABLE, dtype=u32)
-    tv = jnp.take(table, parts_u8.astype(jnp.int32), axis=0)  # (B, P) u32
+    tv = _table_lookup(parts_u8)  # (B, P) u32
     P = parts_u8.shape[-1]
     acc = jnp.zeros_like(tv)
     for i in range(WINDOW):
