@@ -201,13 +201,21 @@ def hash_chunks_u32(data_u8, lengths, xp=np):
     shapes only: cost is driven by the padded length, so bucket chunk batches
     by size before calling.
     """
-    lanes, padded = data_u8.shape
+    words = _bytes_to_words(xp, data_u8)  # (lanes, padded//4)
+    return hash_chunks_words(words, lengths, xp=xp)
+
+
+def hash_chunks_words(words, lengths, xp=np):
+    """As hash_chunks_u32 but over pre-packed little-endian uint32 words
+    ((lanes, padded//4)); the device pack kernel emits words directly so the
+    byte->word marshalling is skipped."""
+    lanes, padded4 = words.shape
+    padded = padded4 * 4
     assert padded % LEAF_BYTES == 0 and padded > 0
     max_leaves = padded // LEAF_BYTES
     u32 = np.uint32
 
     lengths = xp.asarray(lengths, dtype=u32)
-    words = _bytes_to_words(xp, data_u8)  # (lanes, padded//4)
 
     # number of leaves / lane (>=1)
     n_leaves = xp.maximum(

@@ -85,48 +85,64 @@ def make_gather_hash_fn(padded: int):
 
 
 @functools.lru_cache(maxsize=8)
-def make_pad_flat_fn(pad: int):
-    """jit: (B, P) u8 -> (B*P + pad,) u8 flat view with a zero tail so a
-    fixed-width DMA window starting at any in-bounds offset stays in bounds."""
+def make_pad_words_fn(slack_words: int):
+    """jit: (B, P) u8 -> (B*P//4 + slack_words,) u32 little-endian word view
+    with a zero tail so every aligned DMA window stays in bounds."""
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(
-        lambda parts: jnp.pad(parts.reshape(-1), (0, pad)))
+    def fn(parts):
+        words = jax.lax.bitcast_convert_type(
+            parts.reshape(-1, 4), jnp.uint32)
+        return jnp.pad(words, (0, slack_words))
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
 def make_pack_hash_fn(padded: int, rows: int):
-    """jit: (flat_parts (N,) u8, starts (rows,) i32, sizes (rows,) i32)
-    -> (lo, hi) u32 hash words.
+    """jit: (flat_words (Nw,) u32, starts (rows,) i32 byte offsets,
+    sizes (rows,) i32) -> (lo, hi) u32 hash words.
 
-    The chunk bytes are packed into a (rows, padded) batch by a Pallas DMA
-    kernel — one dynamic-offset copy per chunk out of the HBM-resident part
-    buffer — instead of a flat ``jnp.take`` gather (which lowers to a
-    dynamic gather and measured ~750 ms vs ~3 ms of actual BLAKE3 work on a
-    64 MiB batch).  flat_parts must carry >= padded bytes of slack past the
-    last valid start (see make_pad_flat_fn).  Rows with size 0 are padding.
+    Packs each chunk's bytes into a (rows, padded//4) u32 word batch with a
+    Pallas kernel, then BLAKE3-hashes the batch.  A flat ``jnp.take``
+    gather lowers to a dynamic gather (~750 ms vs ~3 ms of BLAKE3 work on a
+    64 MiB batch); instead each row issues one DMA from the 4 KiB-aligned
+    floor of its start (Mosaic tiles 1-D i32 HBM refs at 1024 elements;
+    dynamic slices need tile-aligned offset and length, hinted with
+    pl.multiple_of) and shifts the extra 0..4095 bytes off in-register:
+    a dynamic word rotate + a sub-word byte funnel shift.  flat_words must
+    carry >= padded//4 + 2048 slack words past the last valid start
+    (make_pad_words_fn).  Rows with size 0 are padding.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # 8 rows per grid step: TPU block shapes need the sublane dim to be a
-    # multiple of 8, and batching the (small, ~chunk-sized) DMAs keeps the
-    # DMA engine busy.  `rows` is pow2-rounded >= 32 by the caller.
+    # 8 rows per grid step: the output block sublane dim must be a multiple
+    # of 8, and batching the DMAs keeps the DMA engine busy.  `rows` is
+    # pow2-rounded >= 32 by the caller.
     R = 8
     assert rows % R == 0
+    P4 = padded // 4          # payload words per row
+    # Mosaic 1-D i32 HBM refs tile at 1024 elements: dynamic DMA slices
+    # need offset AND length 1024-word (4 KiB) aligned.
+    W = -(-(P4 + 1024) // 1024) * 1024
+    u32 = jnp.uint32
 
-    def pack_kernel(starts_ref, sizes_ref, parts_ref, out_ref, scratch, sems):
+    def pack_kernel(starts_ref, sizes_ref, words_ref, out_ref, scratch, sems):
         g = pl.program_id(0)
         slot = jax.lax.rem(g, 2)
         nslot = 1 - slot
 
         def dma(row, s, i):
+            # 4 KiB-aligned window: start//4096 * 1024 words
+            ws = pl.multiple_of(
+                (starts_ref[row] // 4096) * 1024, 1024)
             return pltpu.make_async_copy(
-                parts_ref.at[pl.ds(starts_ref[row], padded)],
-                scratch.at[s, i, 0], sems.at[s, i])
+                words_ref.at[pl.ds(ws, W)], scratch.at[s, i, 0],
+                sems.at[s, i])
 
         @pl.when(g == 0)
         def _():
@@ -138,34 +154,51 @@ def make_pack_hash_fn(padded: int, rows: int):
             for i in range(R):
                 dma((g + 1) * R + i, nslot, i).start()
 
+        rows_out = []
         for i in range(R):
             dma(g * R + i, slot, i).wait()
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, padded), 1)
+            start = starts_ref[g * R + i]
+            d = jax.lax.rem(start, 4096)      # byte offset within window
+            q = jax.lax.div(d, 4)             # whole-word shift
+            r8 = (jax.lax.rem(d, 4) * 8).astype(u32)  # sub-word bit shift
+            # left-rotate by q == roll right by W - q (roll needs shift >= 0)
+            w = pltpu.roll(scratch[slot, i, 0][None, :], W - q, axis=1)
+            wn = pltpu.roll(w, W - 1, axis=1)
+            # funnel shift; two-step left shift keeps counts < 32 when r8=0
+            row = (w >> r8) | ((wn << (u32(31) - r8)) << u32(1))
+            rows_out.append(row[:, :P4])
+        packed = jnp.concatenate(rows_out, axis=0)    # (R, P4)
+        # zero bytes at and beyond each row's size (exact hash input)
         sz = jnp.stack([sizes_ref[g * R + i] for i in range(R)])
-        out_ref[:] = jnp.where(col < sz[:, None], scratch[slot, :, 0, :], 0)
+        byte0 = jax.lax.broadcasted_iota(jnp.int32, (R, P4), 1) * 4
+        nb = jnp.clip(sz[:, None] - byte0, 0, 4)      # valid bytes in word
+        nbp = jnp.minimum(nb, 3).astype(u32)          # keep shifts < 32
+        partial_mask = (u32(1) << (nbp * 8)) - u32(1)
+        mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
+                         jnp.where(nb > 0, partial_mask, u32(0)))
+        out_ref[:] = packed & mask
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rows // R,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (R, padded), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            (R, P4), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # per-row (1, padded) planes: DMA destinations must not slice
-            # the sublane dim of a u8 tile (Mosaic requires 4-alignment)
-            pltpu.VMEM((2, R, 1, padded), jnp.uint8),
+            # (1, W) planes: DMA destinations must be whole tile rows
+            pltpu.VMEM((2, R, 1, W), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, R)),
         ],
     )
 
-    def fn(flat_parts, starts, sizes):
+    def fn(flat_words, starts, sizes):
         packed = pl.pallas_call(
             pack_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, padded), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((rows, P4), jnp.uint32),
             interpret=jax.default_backend() != "tpu",
-        )(starts, sizes, flat_parts)
-        return _blake3.hash_chunks_u32(packed, sizes, xp=jnp)
+        )(starts, sizes, flat_words)
+        return _blake3.hash_chunks_words(packed, sizes, xp=jnp)
 
     return jax.jit(fn)
 
@@ -286,7 +319,8 @@ class DevicePartIndexer:
             flat_sizes = np.zeros(0, np.int64)
         padded = _pow2_padded(flat_sizes, self.cfg.padded_chunk) \
             if len(flat_sizes) else flat_sizes
-        flat_dev = make_pad_flat_fn(self.cfg.padded_chunk)(dev_parts)
+        flat_dev = make_pad_words_fn(
+            self.cfg.padded_chunk // 4 + 2048)(dev_parts)
         buckets = []
         for cls_size in np.unique(padded):
             rows_all = np.flatnonzero(padded == cls_size)

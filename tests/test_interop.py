@@ -1,0 +1,115 @@
+"""On-disk interop with the reference C library.
+
+tests/testdata/ref_golden/ holds artifacts produced by the actual reference
+CLI (built from /root/reference with gcc; upsync + pack of
+tests/testdata/sample_folder at --target-chunk-size 4096 with zstd):
+
+- ref.lvi       — Longtail_WriteVersionIndex output (src/longtail.c:3415)
+- refstore/     — fsblockstore: store.lsi + chunks/<4hex>/0x<16hex>.lrb
+                  (lib/fsblockstore/longtail_fsblockstore.c:66-92)
+- ref.la        — archive store output (Longtail_CreateArchiveIndex,
+                  src/longtail.c:9921)
+
+These tests prove our readers parse the reference's bytes and reconstruct
+the original content bit-exactly — the interchange guarantee in both format
+and codec (zstd frames decoded by our RFC 8878 implementation).
+
+The reverse direction (reference binary reads OUR output) was verified when
+the fixtures were generated and re-runs automatically when a reference
+binary is present at $LONGTAIL_REF_BIN.
+"""
+
+import os
+import pathlib
+import subprocess
+
+import pytest
+
+HERE = pathlib.Path(__file__).parent
+GOLDEN = HERE / "testdata" / "ref_golden"
+SAMPLE = HERE / "testdata" / "sample_folder"
+
+
+def _read_tree(root: pathlib.Path) -> dict:
+    out = {}
+    for p in sorted(root.rglob("*")):
+        rel = str(p.relative_to(root))
+        if p.is_dir():
+            out[rel + "/"] = None
+        else:
+            out[rel] = p.read_bytes()
+    return out
+
+
+def test_reference_version_index_parses():
+    from longtail_tpu.formats.version_index import VersionIndex
+
+    vi = VersionIndex.from_bytes((GOLDEN / "ref.lvi").read_bytes())
+    assert vi.asset_count == 20
+    assert vi.chunk_count == 9
+    paths = set(vi.paths())
+    assert "JustDifferent.txt" in paths
+    assert any(not p.isascii() for p in paths)  # non-ASCII path survives
+
+
+def test_reference_store_downsync_bit_exact(tmp_path):
+    from longtail_tpu import api
+    from longtail_tpu.formats.version_index import VersionIndex
+    from longtail_tpu.stores.compressblockstore import CompressBlockStore
+    from longtail_tpu.stores.fsblockstore import FSBlockStore
+    from longtail_tpu.stores.storage import FSStorage
+
+    vi = VersionIndex.from_bytes((GOLDEN / "ref.lvi").read_bytes())
+    store = CompressBlockStore(FSBlockStore(FSStorage(), str(GOLDEN / "refstore")))
+    target = tmp_path / "out"
+    api.downsync(store, FSStorage(), str(target), vi)
+    assert _read_tree(target) == _read_tree(SAMPLE)
+
+
+def test_reference_store_lsi_parses():
+    from longtail_tpu.formats.store_index import StoreIndex
+
+    si = StoreIndex.from_bytes((GOLDEN / "refstore" / "store.lsi").read_bytes())
+    assert si.block_count >= 1
+    assert si.chunk_count == 9
+
+
+def test_reference_archive_unpack_bit_exact(tmp_path):
+    from longtail_tpu.stores.archiveblockstore import unpack_archive
+    from longtail_tpu.stores.storage import FSStorage
+
+    target = tmp_path / "out"
+    unpack_archive(FSStorage(), str(GOLDEN / "ref.la"), str(target))
+    assert _read_tree(target) == _read_tree(SAMPLE)
+
+
+REF_BIN = os.environ.get("LONGTAIL_REF_BIN", "/tmp/refbuild/mybuild/longtail")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary not built on this machine")
+def test_reference_binary_reads_our_output(tmp_path):
+    """Our upsync + pack outputs are consumed by the real reference CLI."""
+    import longtail_tpu.cli as cli
+
+    store = tmp_path / "store"
+    lvi = tmp_path / "v.lvi"
+    la = tmp_path / "v.la"
+    assert cli.main(["upsync", "--storage-uri", str(store),
+                     "--source-path", str(SAMPLE),
+                     "--target-path", str(lvi),
+                     "--compression-algorithm", "zstd",
+                     "--target-chunk-size", "4096"]) == 0
+    assert cli.main(["pack", "--source-path", str(SAMPLE),
+                     "--target-path", str(la),
+                     "--compression-algorithm", "zstd",
+                     "--target-chunk-size", "4096"]) == 0
+    for args, out in [
+        (["downsync", "--source-path", str(lvi),
+          "--target-path", str(tmp_path / "o1"),
+          "--storage-uri", str(store)], tmp_path / "o1"),
+        (["unpack", "--source-path", str(la),
+          "--target-path", str(tmp_path / "o2")], tmp_path / "o2"),
+    ]:
+        subprocess.run([REF_BIN] + args, check=True, capture_output=True)
+        assert _read_tree(out) == _read_tree(SAMPLE)
