@@ -15,7 +15,6 @@ machinery against an empty target.
 
 from __future__ import annotations
 
-import dataclasses
 import errno
 from concurrent.futures import ThreadPoolExecutor
 
@@ -30,44 +29,71 @@ from longtail_tpu.utils.cancel import check
 from longtail_tpu.utils.progress import null_progress
 
 
-@dataclasses.dataclass
-class _ChunkWrite:
-    asset_index: int
-    file_offset: int
-    block_offset: int
-    size: int
-
 
 def _build_block_write_infos(version_index: VersionIndex,
                              store_index: StoreIndex,
-                             asset_indexes) -> dict[int, list[_ChunkWrite]]:
-    """block store-position -> scatter list (CreateBlockWriteInfos :8571)."""
-    # chunk hash -> (block position, offset inside uncompressed block data)
-    chunk_to_block: dict[int, tuple[int, int]] = {}
-    for b in range(store_index.block_count):
-        hashes, sizes = store_index.block_chunks(b)
-        off = 0
-        for h, s in zip(hashes, sizes):
-            chunk_to_block.setdefault(int(h), (b, off))
-            off += int(s)
+                             asset_indexes) -> dict[int, tuple]:
+    """block store-position -> scatter arrays (CreateBlockWriteInfos :8571).
 
-    per_block: dict[int, list[_ChunkWrite]] = {}
-    for a in asset_indexes:
-        a = int(a)
-        file_offset = 0
-        for ci in version_index.asset_chunks(a):
-            h = int(version_index.chunk_hashes[ci])
-            size = int(version_index.chunk_sizes[ci])
-            try:
-                b, block_off = chunk_to_block[h]
-            except KeyError:
-                raise KeyError(
-                    f"chunk {h:#x} needed by {version_index.path(a)} "
-                    f"not found in any store block") from None
-            per_block.setdefault(b, []).append(
-                _ChunkWrite(a, file_offset, block_off, size))
-            file_offset += size
-    return per_block
+    Vectorized: sorted-hash membership instead of dict loops.  Returns
+    {block_pos: (assets, file_offsets, block_offsets, sizes)} int64 arrays,
+    each block's writes in asset/file order.
+    """
+    # store side: chunk hash -> (block position, offset in block data);
+    # first block wins (the reference's insert-if-absent, walk in block
+    # order over each block's chunk run at block_chunks_offsets)
+    s_counts = store_index.block_chunk_counts.astype(np.int64)
+    walk_first = np.cumsum(s_counts) - s_counts
+    total_s = int(s_counts.sum())
+    pos_in_block = (np.arange(total_s, dtype=np.int64)
+                    - np.repeat(walk_first, s_counts))
+    src_pos = (np.repeat(
+        store_index.block_chunks_offsets.astype(np.int64), s_counts)
+        + pos_in_block)
+    s_hashes = store_index.chunk_hashes[src_pos]
+    s_sizes = store_index.chunk_sizes[src_pos].astype(np.int64)
+    block_of = np.repeat(
+        np.arange(store_index.block_count, dtype=np.int64), s_counts)
+    s_ex = np.cumsum(s_sizes) - s_sizes
+    s_block_off = s_ex - np.repeat(s_ex[walk_first], s_counts)
+    suh, sfirst = np.unique(s_hashes, return_index=True)
+
+    # version side: flat (asset, chunk) walk restricted to asset_indexes
+    asset_of, flat_ci, file_off = version_index.flat_chunk_walk(asset_indexes)
+    if len(flat_ci) == 0:
+        return {}
+    h = version_index.chunk_hashes[flat_ci]
+    sizes = version_index.chunk_sizes[flat_ci].astype(np.int64)
+    if len(suh) == 0:
+        raise KeyError(
+            f"chunk {int(h[0]):#x} needed by "
+            f"{version_index.path(int(asset_of[0]))} not found in any "
+            "store block")
+    idx = np.searchsorted(suh, h)
+    idx_c = np.minimum(idx, len(suh) - 1)
+    missing = (idx >= len(suh)) | (suh[idx_c] != h)
+    if missing.any():
+        m = int(np.flatnonzero(missing)[0])
+        raise KeyError(
+            f"chunk {int(h[m]):#x} needed by "
+            f"{version_index.path(int(asset_of[m]))} not found in any "
+            "store block")
+    src = sfirst[idx_c]
+    b = block_of[src]
+    boff = s_block_off[src]
+
+    order = np.argsort(b, kind="stable")  # group by block, keep file order
+    b_s, a_s = b[order], asset_of[order]
+    fo_s, bo_s, sz_s = file_off[order], boff[order], sizes[order]
+    blocks, starts = np.unique(b_s, return_index=True)
+    bounds = np.append(starts, len(b_s))
+    return {
+        int(blocks[i]): (a_s[bounds[i]:bounds[i + 1]],
+                         fo_s[bounds[i]:bounds[i + 1]],
+                         bo_s[bounds[i]:bounds[i + 1]],
+                         sz_s[bounds[i]:bounds[i + 1]])
+        for i in range(len(blocks))
+    }
 
 
 def _full_path(root: str, path: str) -> str:
@@ -162,14 +188,18 @@ def change_version(block_store, version_storage: Storage,
 
     def apply_block(item) -> None:
         check(cancel_token)
-        b, writes = item
+        b, (assets, file_offs, block_offs, sizes) = item
         block = block_store.get_stored_block(int(store_index.block_hashes[b]))
         data = block.block_data
-        by_asset: dict[int, list[tuple[int, bytes]]] = {}
-        for w in writes:
-            by_asset.setdefault(w.asset_index, []).append(
-                (w.file_offset, data[w.block_offset:w.block_offset + w.size]))
-        for a, ranges in by_asset.items():
+        # group consecutive runs per asset (writes arrive in file order)
+        uniq, starts = np.unique(assets, return_index=True)
+        bounds = np.append(np.sort(starts), len(assets))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            a = int(assets[s])
+            ranges = [(int(file_offs[i]),
+                       data[int(block_offs[i]):int(block_offs[i])
+                            + int(sizes[i])])
+                      for i in range(s, e)]
             full = _full_path(root, target.path(a))
             version_storage.write_ranges(
                 full, int(target.asset_sizes[a]), ranges)

@@ -149,17 +149,21 @@ def get_existing_store_index(store_index: StoreIndex,
     # src/longtail.c:7059-7085 ties on index ascending)
     order = cand_idx[np.argsort(-pct[cand_idx], kind="stable")]
 
-    covered: set[int] = set()
-    wanted_set = set(int(h) for h in wanted)
+    # greedy cover; `wanted` is sorted-unique so membership is searchsorted
+    # against a boolean coverage array (no per-chunk Python)
+    covered = np.zeros(len(wanted), dtype=bool)
+    n_covered = 0
     picked: list[int] = []
     for b in order:
-        if len(covered) >= len(wanted_set):
+        if n_covered >= len(wanted):
             break
         h, _ = store_index.block_chunks(int(b))
-        newly = [int(x) for x in h
-                 if int(x) in wanted_set and int(x) not in covered]
-        if newly:
-            covered.update(newly)
+        wi = np.searchsorted(wanted, h)
+        wi_c = np.minimum(wi, len(wanted) - 1)
+        hit = wi_c[(wanted[wi_c] == h) & ~covered[wi_c]]
+        if len(hit):
+            covered[hit] = True
+            n_covered += len(np.unique(hit))
             picked.append(int(b))
     if not picked:
         return StoreIndex.from_blocks([])

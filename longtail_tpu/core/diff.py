@@ -83,14 +83,11 @@ def get_required_chunk_hashes(version_index: VersionIndex,
     """Unique chunk hashes needed to materialize added + content-modified
     assets (Longtail_GetRequiredChunkHashes src/longtail.c:4349); first-seen
     order preserved."""
-    seen: set[int] = set()
-    out: list[int] = []
-    for asset_list in (diff.target_added_asset_indexes,
-                       diff.target_content_modified_asset_indexes):
-        for a in asset_list:
-            for ci in version_index.asset_chunks(int(a)):
-                h = int(version_index.chunk_hashes[ci])
-                if h not in seen:
-                    seen.add(h)
-                    out.append(h)
-    return np.asarray(out, dtype=np.uint64)
+    assets = np.concatenate([
+        np.asarray(diff.target_added_asset_indexes, dtype=np.int64),
+        np.asarray(diff.target_content_modified_asset_indexes,
+                   dtype=np.int64)])
+    _, flat_ci, _ = version_index.flat_chunk_walk(assets)
+    hashes = version_index.chunk_hashes[flat_ci]
+    uh, first = np.unique(hashes, return_index=True)
+    return hashes[np.sort(first)]  # unique, first-seen order preserved

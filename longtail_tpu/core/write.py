@@ -22,19 +22,43 @@ from longtail_tpu.utils.cancel import check
 from longtail_tpu.utils.progress import null_progress
 
 
-def create_asset_part_lookup(version_index: VersionIndex):
-    """chunk hash -> (asset_index, byte_offset, size, tag); first asset wins
-    (CreateAssetPartLookup, src/longtail.c:4429)."""
-    lookup: dict[int, tuple[int, int, int]] = {}
-    for a in range(version_index.asset_count):
-        offset = 0
-        for ci in version_index.asset_chunks(a):
-            h = int(version_index.chunk_hashes[ci])
-            size = int(version_index.chunk_sizes[ci])
-            if h not in lookup:
-                lookup[h] = (a, offset, size)
-            offset += size
-    return lookup
+class AssetPartLookup:
+    """chunk hash -> (asset_index, byte_offset, size), sorted-array backed
+    (no Python dict: O(total_chunks) numpy build + O(log n) lookups)."""
+
+    __slots__ = ("hashes", "asset", "offset", "size")
+
+    def __init__(self, hashes, asset, offset, size):
+        self.hashes = hashes
+        self.asset = asset
+        self.offset = offset
+        self.size = size
+
+    def __getitem__(self, h: int):
+        i = int(np.searchsorted(self.hashes, np.uint64(h)))
+        if i >= len(self.hashes) or int(self.hashes[i]) != int(h):
+            raise KeyError(h)
+        return int(self.asset[i]), int(self.offset[i]), int(self.size[i])
+
+    def __contains__(self, h: int) -> bool:
+        i = int(np.searchsorted(self.hashes, np.uint64(h)))
+        return i < len(self.hashes) and int(self.hashes[i]) == int(h)
+
+    def __len__(self) -> int:
+        return len(self.hashes)
+
+
+def create_asset_part_lookup(version_index: VersionIndex) -> AssetPartLookup:
+    """chunk hash -> (asset_index, byte_offset, size); first asset wins
+    (CreateAssetPartLookup, src/longtail.c:4429).  Vectorized: one
+    flat_chunk_walk + np.unique (first occurrence in walk order = first
+    asset, matching the reference's insert-if-absent)."""
+    asset_of, flat_ci, offsets = version_index.flat_chunk_walk()
+    hashes = version_index.chunk_hashes[flat_ci]
+    uh, first = np.unique(hashes, return_index=True)
+    return AssetPartLookup(
+        uh, asset_of[first], offsets[first],
+        version_index.chunk_sizes[flat_ci][first].astype(np.int64))
 
 
 def write_content(source_storage: Storage, block_store,

@@ -90,6 +90,37 @@ class VersionIndex:
         count = int(self.asset_chunk_counts[asset_index])
         return self.asset_chunk_indexes[start:start + count]
 
+    def flat_chunk_walk(self, asset_indexes=None):
+        """Vectorized per-asset chunk traversal: the array form of looping
+        ``asset_chunks()`` per asset (the shape the reference walks in
+        CreateAssetPartLookup src/longtail.c:4429 and CreateBlockWriteInfos
+        :8571).
+
+        Returns int64 arrays ``(asset_of, chunk_index, file_offset)`` with
+        one entry per (asset, chunk) pair in file order; ``file_offset`` is
+        the chunk's byte offset within its asset.
+        """
+        if asset_indexes is None:
+            assets = np.arange(self.asset_count, dtype=np.int64)
+        else:
+            assets = np.asarray(asset_indexes, dtype=np.int64)
+        counts = self.asset_chunk_counts[assets].astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        first = np.cumsum(counts) - counts        # run starts in flat order
+        asset_of = np.repeat(assets, counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+        flat_ci = self.asset_chunk_indexes[
+            self.asset_chunk_index_starts[asset_of].astype(np.int64) + pos
+        ].astype(np.int64)
+        sizes = self.chunk_sizes[flat_ci].astype(np.int64)
+        csum = np.cumsum(sizes)
+        ex = csum - sizes                         # exclusive global prefix
+        offsets = ex - np.repeat(ex[first], counts)
+        return asset_of, flat_ci, offsets
+
     def is_dir(self, asset_index: int) -> bool:
         return self.path(asset_index).endswith("/")
 
