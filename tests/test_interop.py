@@ -113,3 +113,35 @@ def test_reference_binary_reads_our_output(tmp_path):
     ]:
         subprocess.run([REF_BIN] + args, check=True, capture_output=True)
         assert _read_tree(out) == _read_tree(SAMPLE)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference binary not built on this machine")
+@pytest.mark.parametrize("algo", ["blake3", "blake2", "meow"])
+def test_version_index_hash_parity_with_reference(tmp_path, algo):
+    """Our upsync and the reference's produce identical chunk/path/content
+    hashes for every supported --hash-algorithm (.lvi-level conformance)."""
+    import numpy as np
+
+    import longtail_tpu.cli as cli
+    from longtail_tpu.formats.version_index import VersionIndex
+
+    ours = tmp_path / "ours.lvi"
+    refs = tmp_path / "ref.lvi"
+    assert cli.main(["upsync", "--storage-uri", str(tmp_path / "s1"),
+                     "--source-path", str(SAMPLE),
+                     "--target-path", str(ours),
+                     "--hash-algorithm", algo,
+                     "--target-chunk-size", "4096"]) == 0
+    subprocess.run(
+        [REF_BIN, "upsync", "--source-path", str(SAMPLE),
+         "--target-path", str(refs),
+         "--storage-uri", str(tmp_path / "s2"),
+         "--hash-algorithm", algo, "--target-chunk-size", "4096"],
+        check=True, capture_output=True)
+    a = VersionIndex.from_bytes(ours.read_bytes())
+    b = VersionIndex.from_bytes(refs.read_bytes())
+    assert np.array_equal(np.sort(a.chunk_hashes), np.sort(b.chunk_hashes))
+    assert np.array_equal(np.sort(a.path_hashes), np.sort(b.path_hashes))
+    assert np.array_equal(np.sort(a.content_hashes),
+                          np.sort(b.content_hashes))
