@@ -10,6 +10,7 @@ from longtail_tpu.core import store_algebra
 from longtail_tpu.core.change import change_version
 from longtail_tpu.core.dedup import create_missing_content
 from longtail_tpu.core.diff import create_version_diff, get_required_chunk_hashes
+from longtail_tpu.core.merge import merge_version_index
 from longtail_tpu.core.indexing import create_version_index, \
     get_files_recursively
 from longtail_tpu.core.write import write_content

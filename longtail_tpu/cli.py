@@ -258,7 +258,7 @@ def main(argv=None) -> int:
     if tag not in (None, C.COMPRESSION_TYPE_NONE) \
             and tag not in supported_tags():
         p.error(f"--compression-algorithm {args.compression_algorithm} "
-                "is not implemented yet (available: none, lz4, zstd*)")
+                "is not available (no codec registered for it on this host)")
     with log.log_context(command=args.command):
         return args.fn(args)
 

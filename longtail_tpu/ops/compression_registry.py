@@ -53,8 +53,43 @@ def register_codec(codec) -> None:
         _CODECS[tag] = codec
 
 
+class BrotliCodec:
+    """Generic/text x min/default/max tiers (lib/brotli/longtail_brotli.c:
+    24-30).  Registered only when the system libbrotli is present."""
+
+    tags = (C.COMPRESSION_TYPE_BROTLI_GENERIC_MIN,
+            C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT,
+            C.COMPRESSION_TYPE_BROTLI_GENERIC_MAX,
+            C.COMPRESSION_TYPE_BROTLI_TEXT_MIN,
+            C.COMPRESSION_TYPE_BROTLI_TEXT_DEFAULT,
+            C.COMPRESSION_TYPE_BROTLI_TEXT_MAX)
+    _quality = {C.COMPRESSION_TYPE_BROTLI_GENERIC_MIN: 4,
+                C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT: 8,
+                C.COMPRESSION_TYPE_BROTLI_GENERIC_MAX: 11,
+                C.COMPRESSION_TYPE_BROTLI_TEXT_MIN: 4,
+                C.COMPRESSION_TYPE_BROTLI_TEXT_DEFAULT: 8,
+                C.COMPRESSION_TYPE_BROTLI_TEXT_MAX: 11}
+    _text = (C.COMPRESSION_TYPE_BROTLI_TEXT_MIN,
+             C.COMPRESSION_TYPE_BROTLI_TEXT_DEFAULT,
+             C.COMPRESSION_TYPE_BROTLI_TEXT_MAX)
+
+    def compress(self, tag: int, data: bytes) -> bytes:
+        from longtail_tpu.ops import brotli
+        return brotli.compress(data, self._quality.get(tag, 8),
+                               text_mode=tag in self._text)
+
+    def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
+        from longtail_tpu.ops import brotli
+        return brotli.decompress(data, raw_size)
+
+
 register_codec(Lz4Codec())
 register_codec(ZstdCodec())
+
+from longtail_tpu.ops import brotli as _brotli  # noqa: E402
+
+if _brotli.available():
+    register_codec(BrotliCodec())
 
 
 def get_codec(tag: int):

@@ -123,3 +123,71 @@ def test_store_index_empty():
     blob = si.to_bytes()
     si2 = StoreIndex.from_bytes(blob)
     assert si2.block_count == 0 and si2.chunk_count == 0
+
+
+def test_merge_version_index():
+    """Longtail_MergeVersionIndex semantics (src/longtail.c:3059-3413):
+    overlay wins per path, overlay-only assets appended, chunks deduped
+    first-seen in merged order; merge with self is idempotent."""
+    import numpy as np
+
+    from longtail_tpu.core.indexing import create_version_index
+    from longtail_tpu.core.merge import merge_version_index
+    from longtail_tpu.stores.storage import MemStorage
+
+    def make(files):
+        st = MemStorage()
+        st.create_dir("root")
+        for path, data in files.items():
+            st.write(f"root/{path}", data)
+        return create_version_index(st, "root", target_chunk_size=512)
+
+    base = make({"a.txt": b"alpha" * 200, "b.txt": b"beta" * 300,
+                 "c.txt": b"gamma" * 100})
+    overlay = make({"b.txt": b"BETA2" * 400, "d.txt": b"delta" * 150})
+
+    merged = merge_version_index(base, overlay)
+    by_path = {merged.path(i): i for i in range(merged.asset_count)}
+    assert set(by_path) == {"a.txt", "b.txt", "c.txt", "d.txt"}
+    # overlay wins for b.txt
+    ob = {overlay.path(i): i for i in range(overlay.asset_count)}["b.txt"]
+    mb = by_path["b.txt"]
+    assert merged.asset_sizes[mb] == overlay.asset_sizes[ob]
+    assert merged.content_hashes[mb] == overlay.content_hashes[ob]
+    got = merged.chunk_hashes[merged.asset_chunks(mb)]
+    want = overlay.chunk_hashes[overlay.asset_chunks(ob)]
+    assert np.array_equal(got, want)
+    # base wins for a.txt
+    ba = {base.path(i): i for i in range(base.asset_count)}["a.txt"]
+    ma = by_path["a.txt"]
+    assert merged.content_hashes[ma] == base.content_hashes[ba]
+    # chunk table is deduplicated
+    assert len(np.unique(merged.chunk_hashes)) == merged.chunk_count
+    # round-trips through the zero-parse format
+    from longtail_tpu.formats.version_index import VersionIndex
+    again = VersionIndex.from_bytes(merged.to_bytes())
+    assert again.paths() == merged.paths()
+    assert np.array_equal(again.chunk_hashes, merged.chunk_hashes)
+    # self-merge is identity on the interesting invariants
+    self_merged = merge_version_index(merged, merged)
+    assert self_merged.asset_count == merged.asset_count
+    assert np.array_equal(np.sort(self_merged.chunk_hashes),
+                          np.sort(merged.chunk_hashes))
+
+
+def test_merge_version_index_validates():
+    import dataclasses
+
+    import pytest
+
+    from longtail_tpu.core.indexing import create_version_index
+    from longtail_tpu.core.merge import merge_version_index
+    from longtail_tpu.stores.storage import MemStorage
+
+    st = MemStorage()
+    st.create_dir("r")
+    st.write("r/x", b"data")
+    a = create_version_index(st, "r", target_chunk_size=512)
+    b = dataclasses.replace(a, target_chunk_size=1024)
+    with pytest.raises(ValueError):
+        merge_version_index(a, b)

@@ -74,7 +74,7 @@ def test_asset_part_lookup_scales(million):
     assert len(lookup) == vi.chunk_count
     a, off, size = lookup[int(vi.chunk_hashes[12345])]
     assert size == 1000
-    assert dt < 1.0, f"asset part lookup took {dt:.2f}s"
+    assert dt < 3.0, f"asset part lookup took {dt:.2f}s"
 
 
 def test_block_write_infos_scale(million):
@@ -88,7 +88,7 @@ def test_block_write_infos_scale(million):
     assert len(per_block) == si.block_count
     n_writes = sum(len(v[0]) for v in per_block.values())
     assert n_writes == vi.chunk_count
-    assert dt < 1.0, f"block write plan took {dt:.2f}s"
+    assert dt < 3.0, f"block write plan took {dt:.2f}s"
 
 
 def test_block_write_infos_matches_oracle():
@@ -144,7 +144,7 @@ def test_required_chunk_hashes_scale(million):
     assert len(req) == vi.chunk_count
     # first-seen order: the first asset's chunks lead
     assert req[0] == vi.chunk_hashes[int(vi.asset_chunks(0)[0])]
-    assert dt < 1.0, f"required chunk hashes took {dt:.2f}s"
+    assert dt < 3.0, f"required chunk hashes took {dt:.2f}s"
 
 
 def test_existing_store_index_scales(million):
@@ -155,4 +155,4 @@ def test_existing_store_index_scales(million):
     sub = get_existing_store_index(si, vi.chunk_hashes[: 200_000])
     dt = time.perf_counter() - t0
     assert sub.block_count > 0
-    assert dt < 5.0, f"existing store index took {dt:.2f}s"
+    assert dt < 10.0, f"existing store index took {dt:.2f}s"

@@ -123,3 +123,21 @@ def test_truncation_rejected():
     for cut in (len(comp) // 2, len(comp) - 1, 5):
         with pytest.raises(Exception):
             Z.decompress(comp[:cut], len(data))
+
+
+def test_brotli_codec_roundtrip():
+    """Brotli parity tags (system libbrotli-backed; skipped if absent)."""
+    from longtail_tpu.formats import constants as C
+    from longtail_tpu.ops import brotli
+    from longtail_tpu.ops.compression_registry import get_codec, supported_tags
+
+    if not brotli.available():
+        pytest.skip("libbrotli not on this host")
+    assert C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT in supported_tags()
+    codec = get_codec(C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT)
+    data = corpus()["mixed"]
+    comp = codec.compress(C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT, data)
+    assert len(comp) < len(data)
+    out = codec.decompress(
+        C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT, comp, len(data))
+    assert out == data
