@@ -96,13 +96,15 @@ def bench_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
     log(f"on-device corpus gen: {time.perf_counter() - t0:.1f}s")
     lengths = np.full((B,), P, dtype=np.int32)
 
-    # context: measure the (tunnel-capped) host->device staging rate once
+    # context: measure the (tunnel-capped) host->device staging rate on a
+    # small probe (excluded from the metric, see docstring)
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(np.asarray(batches[0])))
-    log(f"context: device_put {batch_bytes >> 20} MiB took "
-        f"{time.perf_counter() - t0:.2f}s (excluded, see docstring)")
+    jax.block_until_ready(jax.device_put(np.zeros(1 << 20, np.uint8)))
+    dt = time.perf_counter() - t0
+    log(f"context: device_put 1 MiB took {dt:.2f}s "
+        f"(~{1 / max(dt, 1e-9):.1f} MB/s tunnel; excluded, see docstring)")
 
-    def run(n: int):
+    def run(n: int, verbose: bool = False):
         stage1: deque = deque()
         stage2: deque = deque()
         n_chunks = n_bytes = 0
@@ -114,11 +116,17 @@ def bench_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
                 n_bytes += int(np.asarray(sizes, dtype=np.int64).sum())
 
         for i in range(n):
+            if verbose:
+                log(f"  submit {i} @ {time.perf_counter() - tv:.1f}s")
             stage1.append(indexer.submit(
                 [None] * B, batches[i % k], lengths))
             if len(stage1) >= 2:
+                if verbose:
+                    log(f"  plan  {i - 1} @ {time.perf_counter() - tv:.1f}s")
                 stage2.append(indexer.plan_hash(stage1.popleft()))
             if len(stage2) >= 2:
+                if verbose:
+                    log(f"  drain {i - 2} @ {time.perf_counter() - tv:.1f}s")
                 drain(stage2.popleft())
         while stage1:
             stage2.append(indexer.plan_hash(stage1.popleft()))
@@ -126,8 +134,10 @@ def bench_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
             drain(stage2.popleft())
         return n_chunks, n_bytes
 
+    tv = time.perf_counter()
+
     t0 = time.perf_counter()
-    n_chunks, _ = run(k)  # warmup: compile resolve + bucket shapes
+    n_chunks, _ = run(k, verbose=True)  # warmup: compile resolve + buckets
     log(f"warmup: {time.perf_counter() - t0:.1f}s ({n_chunks} chunks)")
 
     t0 = time.perf_counter()

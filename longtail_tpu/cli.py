@@ -88,13 +88,18 @@ def cmd_upsync(args) -> int:
 
 
 def cmd_downsync(args) -> int:
+    from longtail_tpu.stores.prefetchblockstore import PrefetchBlockStore
+
     storage = FSStorage()
-    store = _open_store(args.storage_uri)
+    # reference downsync chain: fs [-> cache] -> compress (cmd/main.c:1264);
+    # the prefetch wrapper is our channel-1 block-reader analog
+    backing = FSBlockStore(FSStorage(), args.storage_uri)
     if args.cache_path:
         from longtail_tpu.stores.cacheblockstore import CacheBlockStore
         local = FSBlockStore(FSStorage(), args.cache_path)
-        store = CompressBlockStore(
-            CacheBlockStore(local, FSBlockStore(FSStorage(), args.storage_uri)))
+        backing = CacheBlockStore(local, backing)
+    store = CompressBlockStore(
+        PrefetchBlockStore(backing, workers=max(1, args.workers // 2)))
     vi = VersionIndex.from_bytes(storage.read(args.source_path))
     current = None
     if args.target_index_path:

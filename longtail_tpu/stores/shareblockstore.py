@@ -9,56 +9,55 @@ import threading
 from longtail_tpu.stores.blockstore import BlockStoreBase
 
 
+class _SharedRequest:
+    """One in-flight fetch; waiters hold the request object itself (the
+    analog of the reference's explicit per-hash waiter lists, :12-35), so
+    the result's lifetime is exactly the waiters' — no timers, no global
+    result cache."""
+
+    __slots__ = ("event", "result", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class ShareBlockStore(BlockStoreBase):
     def __init__(self, backing):
         super().__init__()
         self.backing = backing
         self._lock = threading.Lock()
-        self._in_flight: dict[int, threading.Event] = {}
-        self._results: dict[int, object] = {}
+        self._in_flight: dict[int, _SharedRequest] = {}
 
     def get_stored_block(self, block_hash: int):
         key = int(block_hash)
         with self._lock:
-            ev = self._in_flight.get(key)
-            if ev is None:
-                ev = threading.Event()
-                self._in_flight[key] = ev
-                owner = True
-            else:
-                owner = False
+            req = self._in_flight.get(key)
+            owner = req is None
+            if owner:
+                req = _SharedRequest()
+                self._in_flight[key] = req
         if not owner:
-            ev.wait()
-            result = self._results.get(key)
-            if isinstance(result, BaseException):
-                raise result
-            if result is not None:
-                self.stats.bump("get_stored_block_count")
-                return result
-            # fetch completed and was evicted; fall through to direct fetch
-            return self.backing.get_stored_block(key)
+            req.event.wait()
+            if req.error is not None:
+                self.stats.bump("get_stored_block_fail_count")
+                raise req.error
+            self.stats.bump("get_stored_block_count")
+            return req.result
         try:
-            block = self.backing.get_stored_block(key)
-            result = block
+            req.result = self.backing.get_stored_block(key)
         except BaseException as e:
-            result = e
+            req.error = e
         with self._lock:
-            self._results[key] = result
-            ev.set()
-            # results are only held while waiters may exist; clean up soon
+            # late arrivals after this point start their own fetch
             del self._in_flight[key]
-
-        def _cleanup():
-            with self._lock:
-                self._results.pop(key, None)
-        timer = threading.Timer(0.5, _cleanup)
-        timer.daemon = True
-        timer.start()
-        if isinstance(result, BaseException):
+        req.event.set()
+        if req.error is not None:
             self.stats.bump("get_stored_block_fail_count")
-            raise result
+            raise req.error
         self.stats.bump("get_stored_block_count")
-        return result
+        return req.result
 
     def put_stored_block(self, stored_block) -> None:
         self.stats.bump("put_stored_block_count")
