@@ -37,7 +37,8 @@ class Blake3Hasher:
 
 class Blake2Hasher:
     """BLAKE2s with an 8-byte digest (lib/blake2/longtail_blake2.c:43
-    ``blake2s_init(state, sizeof(uint64_t))``)."""
+    ``blake2s_init(state, sizeof(uint64_t))``).  Bulk path is the
+    lane-batched implementation (ops/blake2.py, numpy or device)."""
 
     identifier = HASH_TYPE_BLAKE2
 
@@ -47,13 +48,8 @@ class Blake2Hasher:
 
     def hash_chunks(self, data_u8: np.ndarray, lengths: np.ndarray,
                     xp=np) -> np.ndarray:
-        # Host loop fallback; a lane-batched BLAKE2s kernel mirrors blake3's
-        # structure and lands with the TPU pipeline work.
-        out = np.zeros(len(lengths), dtype=np.uint64)
-        data_np = np.asarray(data_u8)
-        for i, ln in enumerate(np.asarray(lengths)):
-            out[i] = self.hash_buffer(bytes(data_np[i, :int(ln)]))
-        return out
+        from longtail_tpu.ops import blake2
+        return blake2.hash_chunks(data_u8, lengths, xp=xp)
 
 
 class MeowHasher:

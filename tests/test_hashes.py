@@ -98,3 +98,31 @@ def test_meow_registry_provider():
     out = h.hash_chunks(data, np.array([5, 64]))
     assert out[0] == h.hash_buffer(bytes([1, 2, 3, 4, 5]))
     assert out[1] == h.hash_buffer(bytes(64))
+
+
+def test_blake2_batched_matches_hashlib():
+    """Lane-batched BLAKE2s (numpy and jnp) == hashlib.blake2s digest_size=8
+    across block-boundary sizes."""
+    import hashlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longtail_tpu.ops import blake2
+
+    rng = np.random.default_rng(9)
+    sizes = [0, 1, 63, 64, 65, 128, 1000, 2048]
+    padded = 2048
+    data = np.zeros((len(sizes), padded), np.uint8)
+    msgs = []
+    for i, n in enumerate(sizes):
+        m = rng.integers(0, 256, n, np.uint8).tobytes()
+        msgs.append(m)
+        data[i, :n] = np.frombuffer(m, np.uint8)
+    lengths = np.array(sizes, np.uint32)
+    for xp in (np, jnp):
+        got = blake2.hash_chunks(data, lengths, xp=xp)
+        for i, m in enumerate(msgs):
+            want = int.from_bytes(
+                hashlib.blake2s(m, digest_size=8).digest(), "little")
+            assert got[i] == want, (xp.__name__, sizes[i])
