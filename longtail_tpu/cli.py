@@ -186,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native incremental asset delivery")
     p.add_argument("--log-level", default="warn")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--detailed-progress", action="store_true",
+                   help="live block/asset activity line (the terminal "
+                        "analog of the reference's MiniFB grid)")
     sub = p.add_subparsers(dest="command", required=True)
 
     def common_chunking(sp):
@@ -264,6 +267,11 @@ def main(argv=None) -> int:
             and tag not in supported_tags():
         p.error(f"--compression-algorithm {args.compression_algorithm} "
                 "is not available (no codec registered for it on this host)")
+    if args.detailed_progress:
+        from longtail_tpu.utils.detailed_progress import \
+            TerminalDetailedProgress
+        from longtail_tpu.utils.monitor import set_monitor
+        set_monitor(TerminalDetailedProgress())
     with log.log_context(command=args.command):
         return args.fn(args)
 

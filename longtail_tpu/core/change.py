@@ -26,6 +26,7 @@ from longtail_tpu.formats.store_index import StoreIndex
 from longtail_tpu.formats.version_index import VersionIndex
 from longtail_tpu.stores.storage import Storage, StorageError, ensure_parent_dirs
 from longtail_tpu.utils.cancel import check
+from longtail_tpu.utils.monitor import get_monitor
 from longtail_tpu.utils.progress import null_progress
 
 
@@ -151,6 +152,10 @@ def change_version(block_store, version_storage: Storage,
     else:
         write_assets = np.arange(target.asset_count, dtype=np.int64)
 
+    mon0 = get_monitor()
+    if mon0:
+        mon0.version_begin(target.asset_count, target.chunk_count)
+
     block_store.preflight_get(store_index.block_hashes)
 
     # non-block assets: directories and zero-size files (:8292); order is
@@ -189,8 +194,15 @@ def change_version(block_store, version_storage: Storage,
     def apply_block(item) -> None:
         check(cancel_token)
         b, (assets, file_offs, block_offs, sizes) = item
-        block = block_store.get_stored_block(int(store_index.block_hashes[b]))
+        mon = get_monitor()
+        bh = int(store_index.block_hashes[b])
+        if mon:
+            mon.block_load(b, bh, 0)
+        block = block_store.get_stored_block(bh)
         data = block.block_data
+        if mon:
+            mon.block_load_complete(b, bh)
+            mon.block_compose(b, bh)
         # group consecutive runs per asset (writes arrive in file order)
         uniq, starts = np.unique(assets, return_index=True)
         bounds = np.append(np.sort(starts), len(assets))
@@ -201,6 +213,9 @@ def change_version(block_store, version_storage: Storage,
                             + int(sizes[i])])
                       for i in range(s, e)]
             full = _full_path(root, target.path(a))
+            if mon:
+                mon.asset_write(a, int(file_offs[s]),
+                                sum(len(r[1]) for r in ranges))
             version_storage.write_ranges(
                 full, int(target.asset_sizes[a]), ranges)
 
@@ -218,6 +233,8 @@ def change_version(block_store, version_storage: Storage,
 
     if retain_permissions_flag:
         retain_permissions(version_storage, target, root)
+    if mon0:
+        mon0.version_end()
 
 
 def write_version(block_store, version_storage: Storage,

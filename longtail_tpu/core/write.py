@@ -19,6 +19,7 @@ from longtail_tpu.formats.store_index import StoreIndex, StoredBlock
 from longtail_tpu.formats.version_index import VersionIndex
 from longtail_tpu.stores.storage import Storage
 from longtail_tpu.utils.cancel import check
+from longtail_tpu.utils.monitor import get_monitor
 from longtail_tpu.utils.progress import null_progress
 
 
@@ -74,6 +75,10 @@ def write_content(source_storage: Storage, block_store,
 
     def write_block(b: int) -> None:
         check(cancel_token)
+        mon = get_monitor()
+        bh = int(missing_store_index.block_hashes[b])
+        if mon:
+            mon.block_prepare(b, bh)
         hashes, sizes = missing_store_index.block_chunks(b)
         parts = bytearray()
         # group consecutive chunks from the same asset into one read
@@ -104,7 +109,11 @@ def write_content(source_storage: Storage, block_store,
         block = StoredBlock(
             block_index=missing_store_index.get_block_index(b),
             block_data=bytes(parts))
+        if mon:
+            mon.block_save(b, bh, len(block.block_data))
         block_store.put_stored_block(block)
+        if mon:
+            mon.block_save_complete(b, bh)
 
     if workers > 1 and total > 1:
         with ThreadPoolExecutor(max_workers=workers) as pool:
