@@ -18,6 +18,7 @@ from longtail_tpu.formats import constants as C
 from longtail_tpu.formats.store_index import StoreIndex
 from longtail_tpu.formats.version_index import VersionIndex
 from longtail_tpu.stores.storage import Storage
+from longtail_tpu.utils import memtracer
 from longtail_tpu.utils.progress import null_progress
 
 
@@ -38,17 +39,19 @@ def upsync(source_storage: Storage, source_root: str, block_store,
     """
     file_infos = get_files_recursively(source_storage, source_root, path_filter)
     asset_tags = np.full(file_infos.count, compression_tag, dtype=np.uint32)
-    version_index = create_version_index(
-        source_storage, source_root, file_infos, hash_identifier,
-        target_chunk_size, asset_tags=asset_tags, workers=workers, xp=xp,
-        progress=progress)
+    with memtracer.context("ChunkAssets"):
+        version_index = create_version_index(
+            source_storage, source_root, file_infos, hash_identifier,
+            target_chunk_size, asset_tags=asset_tags, workers=workers, xp=xp,
+            progress=progress)
 
     existing = block_store.get_existing_content(
         version_index.chunk_hashes, min_block_usage_percent)
     missing = create_missing_content(
         existing, version_index, target_block_size, max_chunks_per_block)
-    write_content(source_storage, block_store, missing, version_index,
-                  source_root, workers=workers, progress=progress)
+    with memtracer.context("WriteContent"):
+        write_content(source_storage, block_store, missing, version_index,
+                      source_root, workers=workers, progress=progress)
     block_store.flush()
     version_store_index = store_algebra.merge_store_index(missing, existing)
     return version_index, version_store_index
@@ -87,12 +90,13 @@ def downsync(block_store, target_storage: Storage, target_root: str,
         # usage cutoff starved us of coverage; retry without it
         store_index = block_store.get_existing_content(required, 0)
 
-    change_version(block_store, target_storage, source_version_index,
-                   store_index, target_root,
-                   source_version_index=current_version_index, diff=diff,
-                   retain_permissions_flag=retain_permissions,
-                   workers=workers, cancel_token=cancel_token,
-                   progress=progress)
+    with memtracer.context("ChangeVersion"):
+        change_version(block_store, target_storage, source_version_index,
+                       store_index, target_root,
+                       source_version_index=current_version_index, diff=diff,
+                       retain_permissions_flag=retain_permissions,
+                       workers=workers, cancel_token=cancel_token,
+                       progress=progress)
 
 
 def validate_version(block_store, version_index: VersionIndex):

@@ -189,6 +189,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detailed-progress", action="store_true",
                    help="live block/asset activity line (the terminal "
                         "analog of the reference's MiniFB grid)")
+    p.add_argument("--mem-tracer", action="store_true",
+                   help="trace memory usage per phase and print a summary "
+                        "(reference --mem-tracer, cmd/main.c:2959)")
     sub = p.add_subparsers(dest="command", required=True)
 
     def common_chunking(sp):
@@ -272,8 +275,17 @@ def main(argv=None) -> int:
             TerminalDetailedProgress
         from longtail_tpu.utils.monitor import set_monitor
         set_monitor(TerminalDetailedProgress())
-    with log.log_context(command=args.command):
-        return args.fn(args)
+    if args.mem_tracer:
+        from longtail_tpu.utils import memtracer
+        memtracer.install()
+    try:
+        with log.log_context(command=args.command):
+            return args.fn(args)
+    finally:
+        if args.mem_tracer:
+            from longtail_tpu.utils import memtracer
+            print(memtracer.dump_stats(), file=sys.stderr)
+            memtracer.uninstall()
 
 
 if __name__ == "__main__":
