@@ -37,7 +37,8 @@ def upsync(source_storage: Storage, source_root: str, block_store,
     index covering exactly this version's chunks (existing + newly written),
     suitable for --version-local-store-index workflows.
     """
-    file_infos = get_files_recursively(source_storage, source_root, path_filter)
+    file_infos = get_files_recursively(source_storage, source_root,
+                                       path_filter, workers=workers)
     asset_tags = np.full(file_infos.count, compression_tag, dtype=np.uint32)
     with memtracer.context("ChunkAssets"):
         version_index = create_version_index(

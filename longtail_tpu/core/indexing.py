@@ -53,8 +53,14 @@ class FileInfos:
         )
 
 
-def get_files_recursively(storage: Storage, root: str,
-                          path_filter=None) -> FileInfos:
+def get_files_recursively(storage: Storage, root: str, path_filter=None,
+                          workers: int = 1) -> FileInfos:
+    """Longtail_GetFilesRecursively2 (src/longtail.c:1656): parallel
+    per-directory scan jobs when workers > 1; same deterministic order."""
+    if workers > 1:
+        from longtail_tpu.stores.storage import walk_files_parallel
+        return FileInfos.from_entries(
+            walk_files_parallel(storage, root, path_filter, workers))
     return FileInfos.from_entries(list(walk_files(storage, root, path_filter)))
 
 
@@ -271,7 +277,8 @@ def create_version_index(storage: Storage, root: str,
     if hash_identifier is None:
         hash_identifier = HASH_TYPE_BLAKE3
     if file_infos is None:
-        file_infos = get_files_recursively(storage, root, path_filter)
+        file_infos = get_files_recursively(storage, root, path_filter,
+                                           workers=workers or 1)
 
     ca = chunk_assets(storage, root, file_infos, hash_identifier,
                       target_chunk_size, asset_tags, workers, xp, progress)

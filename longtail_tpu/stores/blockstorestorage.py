@@ -34,7 +34,14 @@ def list_version_dir(version_index: VersionIndex, prefix: str = ""):
 
 
 class BlockStoreStorage:
-    """Read-only storage view; paths are version-index relative."""
+    """Read-only Storage view; paths are version-index relative.
+
+    Implements the read side of the Storage protocol (the reference exposes
+    a complete Longtail_StorageAPI over a store,
+    lib/blockstorestorage/longtail_blockstorestorage.c:1492), so generic
+    consumers — ``walk_files``, CLI ls/cp — run over it unchanged; mutating
+    ops raise PermissionError like the reference's EACCES returns.
+    """
 
     def __init__(self, block_store, version_index: VersionIndex,
                  lru_blocks: int = 32):
@@ -55,22 +62,44 @@ class BlockStoreStorage:
         self._asset_by_path = {version_index.path(i): i
                                for i in range(version_index.asset_count)}
 
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.lstrip("/")
+
     def exists(self, path: str) -> bool:
+        path = self._norm(path)
         return path in self._asset_by_path or (path + "/") in self._asset_by_path
 
     def is_dir(self, path: str) -> bool:
-        return (path.rstrip("/") + "/") in self._asset_by_path
+        path = self._norm(path)
+        return path == "" or (path.rstrip("/") + "/") in self._asset_by_path
 
     def get_size(self, path: str) -> int:
+        path = self._norm(path)
         return int(self.version_index.asset_sizes[self._asset_by_path[path]])
+
+    def get_permissions(self, path: str) -> int:
+        path = self._norm(path)
+        a = self._asset_by_path.get(path)
+        if a is None:
+            a = self._asset_by_path[path.rstrip("/") + "/"]
+        return int(self.version_index.permissions[a])
 
     def list_dir(self, path: str):
         return [name for name, _, _, _ in
-                list_version_dir(self.version_index, path)]
+                list_version_dir(self.version_index, self._norm(path))]
+
+    # -- mutating side of the Storage protocol: read-only store ------------
+    def _read_only(self, *_a, **_k):
+        raise PermissionError("BlockStoreStorage is read-only")
+
+    write = write_ranges = open_append = set_size = _read_only
+    create_dir = remove_file = remove_dir = rename = _read_only
+    set_permissions = lock_file = unlock_file = _read_only
 
     def read(self, path: str, offset: int = 0,
              size: int | None = None) -> bytes:
-        a = self._asset_by_path[path]
+        a = self._asset_by_path[self._norm(path)]
         asset_size = int(self.version_index.asset_sizes[a])
         if size is None:
             size = asset_size - offset

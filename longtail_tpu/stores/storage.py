@@ -129,6 +129,19 @@ class FSStorage:
     def list_dir(self, path: str) -> list[str]:
         return sorted(os.listdir(self._p(path)))
 
+    def scan_dir(self, path: str) -> list[tuple[str, bool, int, int]]:
+        """Single-pass (name, is_dir, size, permissions) listing: one
+        scandir + one stat per entry instead of three stats."""
+        out = []
+        with os.scandir(self._p(path)) as it:
+            for e in it:
+                st = e.stat()
+                is_dir = e.is_dir()
+                out.append((e.name, is_dir, 0 if is_dir else st.st_size,
+                            stat_mod.S_IMODE(st.st_mode)))
+        out.sort()
+        return out
+
     def get_permissions(self, path: str) -> int:
         return stat_mod.S_IMODE(os.stat(self._p(path)).st_mode)
 
@@ -310,6 +323,26 @@ class MemStorage:
         handle.release()
 
 
+def _scan_dir(storage: Storage, full: str):
+    """One directory's entries as (name, is_dir, size, permissions).
+
+    Storages may override with a single-pass implementation (FSStorage uses
+    os.scandir); this fallback works over any Storage protocol object.
+    """
+    scan = getattr(storage, "scan_dir", None)
+    if scan is not None:
+        return scan(full)
+    out = []
+    for name in storage.list_dir(full):
+        child = f"{full}/{name}"
+        if storage.is_dir(child):
+            out.append((name, True, 0, storage.get_permissions(child)))
+        else:
+            out.append((name, False, storage.get_size(child),
+                        storage.get_permissions(child)))
+    return out
+
+
 def walk_files(storage: Storage, root: str,
                path_filter=None) -> Iterator[tuple[str, int, int]]:
     """Yield (relative_path, size, permissions); dirs end with '/', size 0.
@@ -320,16 +353,46 @@ def walk_files(storage: Storage, root: str,
     """
     def recurse(rel: str):
         full = f"{root}/{rel}" if rel else root
-        for name in storage.list_dir(full):
+        for name, is_dir, size, perm in _scan_dir(storage, full):
             child_rel = f"{rel}/{name}" if rel else name
-            child_full = f"{root}/{child_rel}"
-            if storage.is_dir(child_full):
+            if is_dir:
                 dir_path = child_rel + "/"
                 if path_filter is None or path_filter(dir_path):
-                    yield (dir_path, 0, storage.get_permissions(child_full))
+                    yield (dir_path, 0, perm)
                     yield from recurse(child_rel)
             else:
                 if path_filter is None or path_filter(child_rel):
-                    yield (child_rel, storage.get_size(child_full),
-                           storage.get_permissions(child_full))
+                    yield (child_rel, size, perm)
     yield from recurse("")
+
+
+def walk_files_parallel(storage: Storage, root: str, path_filter=None,
+                        workers: int = 8) -> list[tuple[str, int, int]]:
+    """Parallel folder scan: one job per directory, like the reference's
+    ScanFolder job fan-out (Longtail_GetFilesRecursively2,
+    src/longtail.c:1656-1790).  Returns the same entries as ``walk_files``
+    in the same deterministic order (sorted by path components, dirs before
+    their children).
+    """
+    import concurrent.futures as cf
+
+    entries: list[tuple[str, int, int]] = []
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = {ex.submit(_scan_dir, storage, root): ""}
+        while pending:
+            done, _ = cf.wait(pending, return_when=cf.FIRST_COMPLETED)
+            for fut in done:
+                rel = pending.pop(fut)
+                for name, is_dir, size, perm in fut.result():
+                    child_rel = f"{rel}/{name}" if rel else name
+                    if is_dir:
+                        dir_path = child_rel + "/"
+                        if path_filter is None or path_filter(dir_path):
+                            entries.append((dir_path, 0, perm))
+                            full = f"{root}/{child_rel}"
+                            pending[ex.submit(_scan_dir, storage, full)] = \
+                                child_rel
+                    elif path_filter is None or path_filter(child_rel):
+                        entries.append((child_rel, size, perm))
+    entries.sort(key=lambda e: e[0].split("/"))
+    return entries
