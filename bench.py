@@ -176,18 +176,96 @@ def bench_compress(total_bytes: int) -> dict:
     }
 
 
+def bench_downsync(total_bytes: int) -> dict:
+    """End-to-end cold downsync (the reference's headline unpack benchmark,
+    CHANGELOG.md:51-78): upsync a synthetic tree into a zstd fs store, then
+    reconstruct it through the CLI in a subprocess — wall-clock GB/s plus
+    the child's peak RSS (the 0.4.1 memory story)."""
+    import resource
+    import shutil
+    import subprocess
+    import tempfile
+
+    from longtail_tpu import api
+    from longtail_tpu.formats import constants as C
+    from longtail_tpu.stores.compressblockstore import CompressBlockStore
+    from longtail_tpu.stores.fsblockstore import FSBlockStore
+    from longtail_tpu.stores.storage import FSStorage
+
+    base = tempfile.mkdtemp(prefix="lt_bench_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        corpus = make_corpus(total_bytes)
+        file_bytes = 64 << 20
+        for i in range(0, len(corpus), file_bytes):
+            with open(os.path.join(src, f"f{i // file_bytes:04d}.bin"),
+                      "wb") as f:
+                f.write(corpus[i:i + file_bytes].tobytes())
+        del corpus
+        st = FSStorage()
+        store = CompressBlockStore(
+            FSBlockStore(st, os.path.join(base, "store")))
+        t0 = time.perf_counter()
+        vi, _ = api.upsync(
+            st, src, store,
+            compression_tag=C.COMPRESSION_TYPE_ZSTD_DEFAULT, workers=16)
+        up_dt = time.perf_counter() - t0
+        lvi = os.path.join(base, "v.lvi")
+        with open(lvi, "wb") as f:
+            f.write(vi.to_bytes())
+        stored = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(base, "store")) for f in fs)
+        log(f"upsync: {up_dt:.2f}s {total_bytes / up_dt / 1e9:.3f} GB/s "
+            f"ratio {total_bytes / stored:.2f}x")
+
+        out = os.path.join(base, "out")
+        t0 = time.perf_counter()
+        subprocess.run(
+            [sys.executable, "-m", "longtail_tpu.cli", "--workers", "16",
+             "downsync",
+             "--storage-uri", os.path.join(base, "store"),
+             "--source-path", lvi, "--target-path", out],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        dt = time.perf_counter() - t0
+        rss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+        gbps = total_bytes / dt / 1e9
+        log(f"downsync: {dt:.2f}s {gbps:.3f} GB/s  peak RSS "
+            f"{rss_kb / 1048576:.2f} GiB")
+        # verify a sample file round-tripped
+        sample = sorted(os.listdir(src))[0]
+        with open(os.path.join(src, sample), "rb") as a, \
+                open(os.path.join(out, sample), "rb") as b:
+            assert a.read() == b.read(), "reconstruction mismatch"
+        return {
+            "metric": "downsync_throughput",
+            "value": round(gbps, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+            "peak_rss_gib": round(rss_kb / 1048576, 3),
+            "upsync_gbps": round(total_bytes / up_dt / 1e9, 3),
+            "compress_ratio": round(total_bytes / stored, 2),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gib", type=float, default=4.0,
                     help="workload size in GiB")
     ap.add_argument("--mode", default="chunk_hash",
-                    choices=["chunk_hash", "compress"])
+                    choices=["chunk_hash", "compress", "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
     args = ap.parse_args()
 
     total = int(args.gib * 2**30)
     if args.mode == "chunk_hash":
         result = bench_chunk_hash(total, args.target_chunk_size)
+    elif args.mode == "downsync":
+        result = bench_downsync(total)
     else:
         result = bench_compress(total)
     print(json.dumps(result), flush=True)

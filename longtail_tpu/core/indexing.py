@@ -86,6 +86,12 @@ def hash_chunk_batch(hasher, part_data: np.ndarray,
         return out
     sizes = np.asarray(sizes, dtype=np.int64)
     offsets = np.asarray(offsets, dtype=np.int64)
+    if xp is np:
+        ranged = getattr(hasher, "hash_ranges", None)
+        if ranged is not None:
+            res = ranged(part_data, offsets, sizes)
+            if res is not None:
+                return res
     padded = np.maximum((sizes + _LEAF - 1) // _LEAF, 1) * _LEAF
     # round padded up to the next power-of-two leaf count to bound bucket count
     leaves = padded // _LEAF

@@ -350,3 +350,52 @@ def hash_chunks(data_u8, lengths, xp=np) -> np.ndarray:
     lo = np.asarray(lo).astype(np.uint64)
     hi = np.asarray(hi).astype(np.uint64)
     return lo | (hi << np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# native host fast path (longtail_tpu/native/blake3_hash.c): the from-spec
+# C implementation, cross-checked against this module's KAT-verified oracle.
+# ---------------------------------------------------------------------------
+
+_native_lib = None
+
+
+def _native():
+    """Bind the native hasher once; False caches a failed probe."""
+    global _native_lib
+    if _native_lib is None:
+        try:
+            import ctypes
+
+            from longtail_tpu import native
+            lib = native.load("blake3_hash", ["blake3_hash.c"])
+            if lib is not None:
+                lib.lt_blake3_hash64.restype = None
+                lib.lt_blake3_hash64.argtypes = [
+                    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+                lib.lt_blake3_hash64_batch.restype = None
+                lib.lt_blake3_hash64_batch.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_long, ctypes.c_void_p]
+            _native_lib = lib if lib is not None else False
+        except Exception:
+            _native_lib = False
+    return _native_lib or None
+
+
+def hash64_ranges(base_u8: np.ndarray, offsets: np.ndarray,
+                  sizes: np.ndarray) -> np.ndarray | None:
+    """Hash chunks [offsets[i], offsets[i]+sizes[i]) of base_u8 natively;
+    None when the native library is unavailable (caller falls back)."""
+    lib = _native()
+    if lib is None:
+        return None
+    base_u8 = np.ascontiguousarray(base_u8, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    out = np.empty(len(sizes), dtype=np.uint64)
+    if len(sizes):
+        lib.lt_blake3_hash64_batch(
+            base_u8.ctypes.data, offsets.ctypes.data, sizes.ctypes.data,
+            len(sizes), out.ctypes.data)
+    return out

@@ -165,6 +165,30 @@ def resolve_cuts(candidates: np.ndarray, length: int,
     return np.asarray(ends, dtype=np.int64)
 
 
+_native_lib = None
+
+
+def _native():
+    """Bind the native scanner once; False caches a failed probe."""
+    global _native_lib
+    if _native_lib is None:
+        try:
+            import ctypes
+
+            from longtail_tpu import native
+            lib = native.load("cdc_scan", ["cdc_scan.c"])
+            if lib is not None:
+                lib.lt_cdc_chunk.restype = ctypes.c_long
+                lib.lt_cdc_chunk.argtypes = [
+                    ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                    ctypes.c_long, ctypes.c_uint32, ctypes.c_void_p,
+                    ctypes.c_long]
+            _native_lib = lib if lib is not None else False
+        except Exception:
+            _native_lib = False
+    return _native_lib or None
+
+
 def chunk_part(data: np.ndarray, min_size: int, avg_size: int,
                max_size: int) -> np.ndarray:
     """Chunk one independently-chunked part; returns end offsets."""
@@ -173,6 +197,17 @@ def chunk_part(data: np.ndarray, min_size: int, avg_size: int,
         return np.zeros(0, dtype=np.int64)
     if n <= min_size:
         return np.asarray([n], dtype=np.int64)
+    lib = _native()
+    if lib is not None and min_size >= WINDOW:
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        cap = n // (min_size + 1) + 2
+        ends = np.empty(cap, dtype=np.int64)
+        d = np.uint32(discriminator_from_avg(float(avg_size)))
+        cnt = lib.lt_cdc_chunk(
+            data.ctypes.data, n, min_size, max_size, int(d),
+            ends.ctypes.data, cap)
+        if cnt >= 0:
+            return ends[:cnt].copy()
     cands = candidate_positions(data, avg_size)
     return resolve_cuts(cands, n, min_size, max_size)
 

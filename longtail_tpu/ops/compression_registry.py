@@ -30,11 +30,14 @@ class ZstdCodec:
     tags = (C.COMPRESSION_TYPE_ZSTD_MIN, C.COMPRESSION_TYPE_ZSTD_DEFAULT,
             C.COMPRESSION_TYPE_ZSTD_MAX, C.COMPRESSION_TYPE_ZSTD_HIGH,
             C.COMPRESSION_TYPE_ZSTD_LOW)
-    _levels = {C.COMPRESSION_TYPE_ZSTD_LOW: 1,
-               C.COMPRESSION_TYPE_ZSTD_MIN: 2,
+    # upstream zstd levels per the reference tier map
+    # (lib/zstd/longtail_zstd.c:11-15): min=0(=default), low=2, default=3,
+    # high=8, max=ZSTD_MAX_CLEVEL(22)
+    _levels = {C.COMPRESSION_TYPE_ZSTD_MIN: 0,
+               C.COMPRESSION_TYPE_ZSTD_LOW: 2,
                C.COMPRESSION_TYPE_ZSTD_DEFAULT: 3,
-               C.COMPRESSION_TYPE_ZSTD_HIGH: 9,
-               C.COMPRESSION_TYPE_ZSTD_MAX: 19}
+               C.COMPRESSION_TYPE_ZSTD_HIGH: 8,
+               C.COMPRESSION_TYPE_ZSTD_MAX: 22}
 
     def compress(self, tag: int, data: bytes) -> bytes:
         from longtail_tpu.ops import zstd

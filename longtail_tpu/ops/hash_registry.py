@@ -34,6 +34,11 @@ class Blake3Hasher:
                     xp=np) -> np.ndarray:
         return _blake3.hash_chunks(data_u8, lengths, xp=xp)
 
+    def hash_ranges(self, base_u8: np.ndarray, offsets: np.ndarray,
+                    sizes: np.ndarray) -> np.ndarray | None:
+        """Native C batch path (None -> caller falls back to hash_chunks)."""
+        return _blake3.hash64_ranges(base_u8, offsets, sizes)
+
 
 class Blake2Hasher:
     """BLAKE2s with an 8-byte digest (lib/blake2/longtail_blake2.c:43

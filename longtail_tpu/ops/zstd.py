@@ -14,8 +14,39 @@ import ctypes
 _native = None
 
 
+class _SystemZstd:
+    """Upstream libzstd bound via ctypes — the same vendor-the-upstream
+    choice the reference makes (lib/zstd vendors zstd 1.5.6); exposed with
+    the lt_zstd_* signature the dispatch below expects."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        self._lib = lib
+
+    def lt_zstd_compress(self, src, n, dst, cap, level):
+        r = self._lib.ZSTD_compress(dst, cap, src, n, level)
+        return -1 if self._lib.ZSTD_isError(r) else r
+
+    def lt_zstd_decompress(self, src, n, dst, raw_size):
+        r = self._lib.ZSTD_decompress(dst, raw_size, src, n)
+        return -1 if self._lib.ZSTD_isError(r) else r
+
+
 def _load_native():
-    """Bind the native zstd codec once; False caches a failed probe."""
+    """Bind the fastest available zstd once; False caches a failed probe.
+
+    Order: repo-built native helper, system libzstd, then the from-spec
+    Python implementation (zstd_frame) as the always-there fallback.
+    """
     global _native
     if _native is None:
         try:
@@ -33,12 +64,20 @@ def _load_native():
             _native = lib if lib is not None else False
         except Exception:
             _native = False
+        if _native is False:
+            try:
+                import ctypes.util
+                path = ctypes.util.find_library("zstd") or "libzstd.so.1"
+                _native = _SystemZstd(ctypes.CDLL(path))
+            except OSError:
+                _native = False
     return _native or None
 
 
 def compress_bound(n: int) -> int:
-    # worst case: raw blocks (3-byte headers per 128 KiB) + frame header
-    return n + (n // zstd_frame.BLOCK_MAX + 1) * 3 + 16
+    # worst case: raw blocks (3-byte headers per 128 KiB) + frame header;
+    # the n>>8 + 512 margin also covers upstream ZSTD_compressBound
+    return n + max((n // zstd_frame.BLOCK_MAX + 1) * 3 + 16, (n >> 8) + 512)
 
 
 def compress(data: bytes, level: int = 3) -> bytes:

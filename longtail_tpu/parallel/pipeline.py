@@ -86,15 +86,17 @@ def make_gather_hash_fn(padded: int):
 
 @functools.lru_cache(maxsize=8)
 def make_pad_words_fn(slack_words: int):
-    """jit: (B, P) u8 -> (B*P//4 + slack_words,) u32 little-endian word view
-    with a zero tail so every aligned DMA window stays in bounds."""
+    """jit: (B, P) u8 -> (>= B*P//4 + slack_words,) u32 little-endian word
+    view, zero-padded to a multiple of 1024 words so the pack kernel can
+    view it as (n, 1024) 4 KiB rows with every DMA window in bounds."""
     import jax
     import jax.numpy as jnp
 
     def fn(parts):
         words = jax.lax.bitcast_convert_type(
             parts.reshape(-1, 4), jnp.uint32)
-        return jnp.pad(words, (0, slack_words))
+        n = words.shape[0] + slack_words
+        return jnp.pad(words, (0, -(-n // 1024) * 1024 - words.shape[0]))
 
     return jax.jit(fn)
 
@@ -107,13 +109,16 @@ def make_pack_hash_fn(padded: int, rows: int):
     Packs each chunk's bytes into a (rows, padded//4) u32 word batch with a
     Pallas kernel, then BLAKE3-hashes the batch.  A flat ``jnp.take``
     gather lowers to a dynamic gather (~750 ms vs ~3 ms of BLAKE3 work on a
-    64 MiB batch); instead each row issues one DMA from the 4 KiB-aligned
-    floor of its start (Mosaic tiles 1-D i32 HBM refs at 1024 elements;
-    dynamic slices need tile-aligned offset and length, hinted with
-    pl.multiple_of) and shifts the extra 0..4095 bytes off in-register:
-    a dynamic word rotate + a sub-word byte funnel shift.  flat_words must
-    carry >= padded//4 + 2048 slack words past the last valid start
-    (make_pad_words_fn).  Rows with size 0 are padding.
+    64 MiB batch); instead each row issues one 2-D DMA of the
+    (n_rows, 1024)-word window holding its chunk — the word stream is
+    viewed as rows of 1024 words (4 KiB) so both DMA sides carry standard
+    2-D tiling (a 1-D HBM->VMEM DMA trips "tiling mismatch for 1D tiles"
+    in Mosaic) — then shifts the extra 0..4095 window bytes off
+    in-register: a dynamic lane rotate + one-row sublane carry emulates
+    the flattened word rotate, and a sub-word byte funnel shift finishes.
+    flat_words must carry >= padded//4 + 2048 slack words past the last
+    valid start and be a multiple of 1024 words long (make_pad_words_fn).
+    Rows with size 0 are padding.
     """
     import jax
     import jax.numpy as jnp
@@ -126,9 +131,8 @@ def make_pack_hash_fn(padded: int, rows: int):
     R = 8
     assert rows % R == 0
     P4 = padded // 4          # payload words per row
-    # Mosaic 1-D i32 HBM refs tile at 1024 elements: dynamic DMA slices
-    # need offset AND length 1024-word (4 KiB) aligned.
-    W = -(-(P4 + 1024) // 1024) * 1024
+    L = 1024                  # words per window row (4 KiB)
+    NR = -(-(P4 + L) // L)    # window rows: payload + 1 row of slack
     u32 = jnp.uint32
 
     def pack_kernel(starts_ref, sizes_ref, words_ref, out_ref, scratch, sems):
@@ -137,11 +141,9 @@ def make_pack_hash_fn(padded: int, rows: int):
         nslot = 1 - slot
 
         def dma(row, s, i):
-            # 4 KiB-aligned window: start//4096 * 1024 words
-            ws = pl.multiple_of(
-                (starts_ref[row] // 4096) * 1024, 1024)
+            r0 = starts_ref[row] // 4096      # window's first 4 KiB row
             return pltpu.make_async_copy(
-                words_ref.at[pl.ds(ws, W)], scratch.at[s, i, 0],
+                words_ref.at[pl.ds(r0, NR)], scratch.at[s, i],
                 sems.at[s, i])
 
         @pl.when(g == 0)
@@ -154,50 +156,59 @@ def make_pack_hash_fn(padded: int, rows: int):
             for i in range(R):
                 dma((g + 1) * R + i, nslot, i).start()
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NR, L), 1)
+        byte0 = (jax.lax.broadcasted_iota(jnp.int32, (NR, L), 0) * L
+                 + lane) * 4
         rows_out = []
         for i in range(R):
             dma(g * R + i, slot, i).wait()
             start = starts_ref[g * R + i]
             d = jax.lax.rem(start, 4096)      # byte offset within window
-            q = jax.lax.div(d, 4)             # whole-word shift
+            q = jax.lax.div(d, 4)             # whole-word shift, 0..L-1
             r8 = (jax.lax.rem(d, 4) * 8).astype(u32)  # sub-word bit shift
-            # left-rotate by q == roll right by W - q (roll needs shift >= 0)
-            w = pltpu.roll(scratch[slot, i, 0][None, :], W - q, axis=1)
-            wn = pltpu.roll(w, W - 1, axis=1)
+            v = scratch[slot, i]              # (NR, L)
+            # u[a, b] = flatwindow[q + a*L + b]: lane left-rotate by q
+            # (cyclic roll right by L - q), taking the lanes that wrapped
+            # from the next sublane row instead.
+            w = pltpu.roll(v, L - q, axis=1)
+            w1 = pltpu.roll(w, NR - 1, axis=0)      # w[a+1, b]
+            u = jnp.where(lane < L - q, w, w1)
+            # un[j] = flatwindow[q + j + 1]: static single-word shift
+            s1 = pltpu.roll(u, L - 1, axis=1)       # u[a, (b+1) % L]
+            d1 = pltpu.roll(s1, NR - 1, axis=0)     # u[a+1, (b+1) % L]
+            un = jnp.where(lane < L - 1, s1, d1)
             # funnel shift; two-step left shift keeps counts < 32 when r8=0
-            row = (w >> r8) | ((wn << (u32(31) - r8)) << u32(1))
-            rows_out.append(row[:, :P4])
-        packed = jnp.concatenate(rows_out, axis=0)    # (R, P4)
-        # zero bytes at and beyond each row's size (exact hash input)
-        sz = jnp.stack([sizes_ref[g * R + i] for i in range(R)])
-        byte0 = jax.lax.broadcasted_iota(jnp.int32, (R, P4), 1) * 4
-        nb = jnp.clip(sz[:, None] - byte0, 0, 4)      # valid bytes in word
-        nbp = jnp.minimum(nb, 3).astype(u32)          # keep shifts < 32
-        partial_mask = (u32(1) << (nbp * 8)) - u32(1)
-        mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
-                         jnp.where(nb > 0, partial_mask, u32(0)))
-        out_ref[:] = packed & mask
+            row = (u >> r8) | ((un << (u32(31) - r8)) << u32(1))
+            # zero bytes at and beyond this row's size (exact hash input)
+            nb = jnp.clip(sizes_ref[g * R + i] - byte0, 0, 4)
+            nbp = jnp.minimum(nb, 3).astype(u32)    # keep shifts < 32
+            partial_mask = (u32(1) << (nbp * 8)) - u32(1)
+            mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
+                             jnp.where(nb > 0, partial_mask, u32(0)))
+            rows_out.append(row & mask)
+        out_ref[:] = jnp.stack(rows_out, axis=0)     # (R, NR, L)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rows // R,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (R, P4), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            (R, NR, L), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # (1, W) planes: DMA destinations must be whole tile rows
-            pltpu.VMEM((2, R, 1, W), jnp.uint32),
+            pltpu.VMEM((2, R, NR, L), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, R)),
         ],
     )
 
     def fn(flat_words, starts, sizes):
+        words2d = flat_words.reshape(-1, L)
         packed = pl.pallas_call(
             pack_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, P4), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((rows, NR, L), jnp.uint32),
             interpret=jax.default_backend() != "tpu",
-        )(starts, sizes, flat_words)
+        )(starts, sizes, words2d)
+        packed = packed.reshape(rows, NR * L)[:, :P4]
         return _blake3.hash_chunks_words(packed, sizes, xp=jnp)
 
     return jax.jit(fn)
