@@ -64,6 +64,16 @@ def _open_store(storage_uri: str, compression_needed: bool = True):
     return CompressBlockStore(store) if compression_needed else store
 
 
+def _xp(args):
+    """--device routes the chunk+hash data plane through the attached JAX
+    accelerator (the streamed device pipeline); default stays host numpy."""
+    if getattr(args, "device", False):
+        import jax.numpy as jnp
+        return jnp
+    import numpy as np
+    return np
+
+
 def cmd_upsync(args) -> int:
     storage = FSStorage()
     store = _open_store(args.storage_uri)
@@ -75,7 +85,7 @@ def cmd_upsync(args) -> int:
         min_block_usage_percent=args.min_block_usage_percent,
         hash_identifier=HASH_NAMES[args.hash_algorithm],
         compression_tag=COMPRESSION_NAMES[args.compression_algorithm],
-        workers=args.workers,
+        workers=args.workers, xp=_xp(args),
         progress=_progress("upsync"))
     ensure_parent_dirs(storage, args.target_path)
     storage.write(args.target_path, vi.to_bytes())
@@ -163,7 +173,7 @@ def cmd_pack(args) -> int:
         max_chunks_per_block=args.max_chunks_per_block,
         hash_identifier=HASH_NAMES[args.hash_algorithm],
         compression_tag=COMPRESSION_NAMES[args.compression_algorithm],
-        workers=args.workers, progress=_progress("pack"))
+        workers=args.workers, xp=_xp(args), progress=_progress("pack"))
     print(f"pack: {n_assets} assets in {n_blocks} blocks -> "
           f"{args.target_path} ({size} bytes)")
     return 0
@@ -202,6 +212,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=sorted(HASH_NAMES))
         sp.add_argument("--compression-algorithm", default="lz4",
                         choices=sorted(COMPRESSION_NAMES))
+        sp.add_argument("--device", action="store_true",
+                        help="run the chunk+hash data plane on the attached "
+                             "JAX accelerator (TPU) instead of host numpy")
 
     sp = sub.add_parser("upsync", help="index a folder and upload new blocks")
     sp.add_argument("--storage-uri", required=True)
