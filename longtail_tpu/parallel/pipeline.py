@@ -131,8 +131,11 @@ def make_pack_hash_fn(padded: int, rows: int):
     R = 8
     assert rows % R == 0
     P4 = padded // 4          # payload words per row
-    L = 1024                  # words per window row (4 KiB)
-    NR = -(-(P4 + L) // L)    # window rows: payload + 1 row of slack
+    L = 128                   # words per window row (one 8x128 i32 tile
+    #                           spans exactly 4 KiB -> a dynamic dim-0 slice
+    #                           at (start // 4096) * 8 is tile-aligned)
+    NW = 8 * (-(-(P4 + 1024 + L) // 1024))  # window rows, multiple of 8
+    NOUT = P4 // L            # payload rows written out (P4 % 128 == 0)
     u32 = jnp.uint32
 
     def pack_kernel(starts_ref, sizes_ref, words_ref, out_ref, scratch, sems):
@@ -141,10 +144,10 @@ def make_pack_hash_fn(padded: int, rows: int):
         nslot = 1 - slot
 
         def dma(row, s, i):
-            r0 = starts_ref[row] // 4096      # window's first 4 KiB row
+            r0 = (starts_ref[row] // 4096) * 8   # 4 KiB floor, 8-row tiles
             return pltpu.make_async_copy(
-                words_ref.at[pl.ds(r0, NR)], scratch.at[s, i],
-                sems.at[s, i])
+                words_ref.at[pl.ds(pl.multiple_of(r0, 8), NW)],
+                scratch.at[s, i], sems.at[s, i])
 
         @pl.when(g == 0)
         def _():
@@ -156,26 +159,34 @@ def make_pack_hash_fn(padded: int, rows: int):
             for i in range(R):
                 dma((g + 1) * R + i, nslot, i).start()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NR, L), 1)
-        byte0 = (jax.lax.broadcasted_iota(jnp.int32, (NR, L), 0) * L
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NW, L), 1)
+        byte0 = (jax.lax.broadcasted_iota(jnp.int32, (NW, L), 0) * L
                  + lane) * 4
         rows_out = []
         for i in range(R):
             dma(g * R + i, slot, i).wait()
             start = starts_ref[g * R + i]
             d = jax.lax.rem(start, 4096)      # byte offset within window
-            q = jax.lax.div(d, 4)             # whole-word shift, 0..L-1
+            q = jax.lax.div(d, 4)             # word shift, 0..1023
+            qr = jax.lax.div(q, L)            # whole-row part, 0..7
+            qc = jax.lax.rem(q, L)            # in-row part, 0..127
             r8 = (jax.lax.rem(d, 4) * 8).astype(u32)  # sub-word bit shift
-            v = scratch[slot, i]              # (NR, L)
-            # u[a, b] = flatwindow[q + a*L + b]: lane left-rotate by q
-            # (cyclic roll right by L - q), taking the lanes that wrapped
-            # from the next sublane row instead.
-            w = pltpu.roll(v, L - q, axis=1)
-            w1 = pltpu.roll(w, NR - 1, axis=0)      # w[a+1, b]
-            u = jnp.where(lane < L - q, w, w1)
+            v = scratch[slot, i]              # (NW, L)
+            # y[a, b] = flatwindow[qc + a*L + b]: dynamic lane left-rotate
+            # by qc (cyclic roll right by L - qc), lanes that wrapped take
+            # the next sublane row's value instead.
+            w = pltpu.roll(v, L - qc, axis=1)
+            w1 = pltpu.roll(w, NW - 1, axis=0)      # w[a+1, b]
+            y = jnp.where(lane < L - qc, w, w1)
+            # u[a, b] = y[a + qr, b]: 8-way select over static row rolls
+            # (dynamic sublane rotates are not universally supported)
+            u = pltpu.roll(y, NW - 7, axis=0)       # k = 7
+            for k in range(6, -1, -1):
+                u = jnp.where(qr == k,
+                              pltpu.roll(y, (NW - k) % NW, axis=0), u)
             # un[j] = flatwindow[q + j + 1]: static single-word shift
             s1 = pltpu.roll(u, L - 1, axis=1)       # u[a, (b+1) % L]
-            d1 = pltpu.roll(s1, NR - 1, axis=0)     # u[a+1, (b+1) % L]
+            d1 = pltpu.roll(s1, NW - 1, axis=0)     # u[a+1, (b+1) % L]
             un = jnp.where(lane < L - 1, s1, d1)
             # funnel shift; two-step left shift keeps counts < 32 when r8=0
             row = (u >> r8) | ((un << (u32(31) - r8)) << u32(1))
@@ -185,17 +196,17 @@ def make_pack_hash_fn(padded: int, rows: int):
             partial_mask = (u32(1) << (nbp * 8)) - u32(1)
             mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
                              jnp.where(nb > 0, partial_mask, u32(0)))
-            rows_out.append(row & mask)
-        out_ref[:] = jnp.stack(rows_out, axis=0)     # (R, NR, L)
+            rows_out.append((row & mask)[:NOUT])
+        out_ref[:] = jnp.stack(rows_out, axis=0)     # (R, NOUT, L)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rows // R,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (R, NR, L), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+            (R, NOUT, L), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, R, NR, L), jnp.uint32),
+            pltpu.VMEM((2, R, NW, L), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, R)),
         ],
     )
@@ -205,10 +216,10 @@ def make_pack_hash_fn(padded: int, rows: int):
         packed = pl.pallas_call(
             pack_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, NR, L), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((rows, NOUT, L), jnp.uint32),
             interpret=jax.default_backend() != "tpu",
         )(starts, sizes, words2d)
-        packed = packed.reshape(rows, NR * L)[:, :P4]
+        packed = packed.reshape(rows, NOUT * L)
         return _blake3.hash_chunks_words(packed, sizes, xp=jnp)
 
     return jax.jit(fn)
