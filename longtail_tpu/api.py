@@ -29,9 +29,12 @@ def upsync(source_storage: Storage, source_root: str, block_store,
            min_block_usage_percent: int = 0,
            hash_identifier: int = C.HASH_TYPE_BLAKE3,
            compression_tag: int = C.COMPRESSION_TYPE_LZ4_DEFAULT,
-           workers: int = 8, path_filter=None, xp=np,
+           workers: int = 8, path_filter=None, xp=np, mesh=None,
            progress=null_progress) -> tuple[VersionIndex, StoreIndex]:
     """Index a folder and upload its missing blocks.
+
+    ``mesh``: a jax.sharding.Mesh — shard the chunk+hash data plane over
+    its devices with the global-dedup collective (SURVEY §2.5).
 
     Returns (version_index, version_store_index): the manifest plus a store
     index covering exactly this version's chunks (existing + newly written),
@@ -44,7 +47,7 @@ def upsync(source_storage: Storage, source_root: str, block_store,
         version_index = create_version_index(
             source_storage, source_root, file_infos, hash_identifier,
             target_chunk_size, asset_tags=asset_tags, workers=workers, xp=xp,
-            progress=progress)
+            mesh=mesh, progress=progress)
 
     existing = block_store.get_existing_content(
         version_index.chunk_hashes, min_block_usage_percent)

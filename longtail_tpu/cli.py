@@ -66,9 +66,13 @@ def _open_store(storage_uri: str, compression_needed: bool = True):
 
 def _xp(args):
     """--device routes the chunk+hash data plane through the attached JAX
-    accelerator (the streamed device pipeline); default stays host numpy."""
+    accelerator (the streamed device pipeline) and lz4 block compression
+    through the TPU match scanner; default stays host numpy."""
     if getattr(args, "device", False):
         import jax.numpy as jnp
+
+        from longtail_tpu.ops.compression_registry import Lz4Codec
+        Lz4Codec.use_device = True
         return jnp
     import numpy as np
     return np
@@ -210,7 +214,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-chunks-per-block", type=int, default=1024)
         sp.add_argument("--hash-algorithm", default="blake3",
                         choices=sorted(HASH_NAMES))
-        sp.add_argument("--compression-algorithm", default="lz4",
+        # reference default: zstd (cmd/main.c:2988)
+        sp.add_argument("--compression-algorithm", default="zstd",
                         choices=sorted(COMPRESSION_NAMES))
         sp.add_argument("--device", action="store_true",
                         help="run the chunk+hash data plane on the attached "

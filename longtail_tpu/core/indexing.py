@@ -17,6 +17,7 @@ Mirrors the semantics of the reference pipeline
 from __future__ import annotations
 
 import dataclasses
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -124,19 +125,39 @@ class ChunkedAssets:
     content_hashes: np.ndarray  # u64[asset_count]
 
 
+def _part_reader(storage, full_path: str, size: int):
+    """Returns read(pos, n) -> uint8 view of the file.
+
+    Files over 1 MiB go through map_file (zero-copy, the reference's mmap
+    chunking path src/longtail.c:2130-2216); small files use plain reads
+    so thousands of tiny assets don't pin thousands of mappings.  The
+    returned arrays keep the mapping alive via their buffer reference."""
+    from longtail_tpu.stores.storage import map_or_read
+
+    if size >= (1 << 20):
+        try:
+            mf = map_or_read(storage, full_path)
+            return lambda pos, n: np.frombuffer(
+                mf.view[pos:pos + n], dtype=np.uint8)
+        except Exception:
+            pass
+    return lambda pos, n: np.frombuffer(
+        storage.read(full_path, pos, n), dtype=np.uint8)
+
+
 def _chunk_one_asset(storage, root: str, path: str, size: int,
                      target_chunk_size: int, hasher, xp):
     """Chunk + hash a single asset, part by part. Returns (hashes, sizes)."""
     min_s, avg_s, max_s = chunker_params_from_target(target_chunk_size)
     max_part = target_chunk_size * 1024
     full_path = f"{root}/{path}" if root else path
+    read = _part_reader(storage, full_path, size)
     all_hashes = []
     all_sizes = []
     pos = 0
     while pos < size:
         part_size = min(max_part, size - pos)
-        data = np.frombuffer(
-            storage.read(full_path, pos, part_size), dtype=np.uint8)
+        data = read(pos, part_size)
         if part_size <= CHUNKER_WINDOW_SIZE:
             # whole part is one chunk (DynamicChunking small-part path,
             # src/longtail.c:2053-2115)
@@ -155,15 +176,105 @@ def _chunk_one_asset(storage, root: str, path: str, size: int,
 
 
 def _chunk_assets_device(storage, root: str, file_infos: FileInfos,
-                         target_chunk_size: int,
-                         progress=null_progress) -> list:
-    """Device data plane: stream every file part through the TPU chunk+hash
-    pipeline (parallel/pipeline.py). Returns the per-asset results list in
-    the same (hashes u64, sizes u32) shape as the host path."""
+                         target_chunk_size: int, hash_kind: str = "blake3",
+                         progress=null_progress, workers: int = 8) -> list:
+    """Device data plane: stream large files' parts through the TPU
+    chunk+hash pipeline (parallel/pipeline.py) while small files run on
+    the host's native path concurrently — a small file would waste a
+    whole fixed-shape device lane, and the host covers it in microseconds.
+    Returns the per-asset results list in the same (hashes u64, sizes u32)
+    shape as the host path."""
+    from longtail_tpu.formats.constants import (
+        HASH_TYPE_BLAKE2,
+        HASH_TYPE_BLAKE3,
+    )
     from longtail_tpu.parallel.pipeline import DevicePartIndexer
 
-    indexer = DevicePartIndexer(target_chunk_size)
+    indexer = DevicePartIndexer(target_chunk_size, hash_kind=hash_kind)
     max_part = indexer.part_bytes
+    small_cutoff = max(indexer.cfg.max_size, max_part // 64)
+    count = file_infos.count
+    results = [
+        (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32))
+        for _ in range(count)
+    ]
+    big = [i for i in range(count)
+           if int(file_infos.sizes[i]) > small_cutoff]
+    small = [i for i in range(count)
+             if 0 < int(file_infos.sizes[i]) <= small_cutoff]
+
+    done = 0
+    done_lock = threading.Lock()
+
+    def tick():
+        nonlocal done
+        with done_lock:
+            done += 1
+            progress(min(done, count), count)
+
+    # host side for small assets, overlapped with the device stream
+    hasher = get_hasher(
+        {"blake3": HASH_TYPE_BLAKE3, "blake2": HASH_TYPE_BLAKE2}[hash_kind])
+
+    def small_work(i: int):
+        results[i] = _chunk_one_asset(
+            storage, root, file_infos.paths[i], int(file_infos.sizes[i]),
+            target_chunk_size, hasher, np)
+        tick()
+
+    pool = ThreadPoolExecutor(max_workers=max(1, workers // 2))
+    futures = [pool.submit(small_work, i) for i in small]
+
+    def parts():
+        for i in big:
+            size = int(file_infos.sizes[i])
+            path = file_infos.paths[i]
+            full = f"{root}/{path}" if root else path
+            read = _part_reader(storage, full, size)
+            pos = 0
+            while pos < size:
+                n = min(max_part, size - pos)
+                yield i, read(pos, n)
+                pos += n
+
+    acc: dict[int, list] = {}
+    for i, sizes, hashes in indexer.index_stream(parts()):
+        acc.setdefault(i, []).append((hashes, sizes))
+        tick()
+    for i, pieces in acc.items():
+        results[i] = (np.concatenate([p[0] for p in pieces]),
+                      np.concatenate([p[1] for p in pieces]))
+    for f in futures:
+        f.result()
+    pool.shutdown()
+    return results
+
+
+def _chunk_assets_mesh(storage, root: str, file_infos: FileInfos,
+                       target_chunk_size: int, mesh,
+                       progress=null_progress) -> list:
+    """Mesh data plane: shard part lanes over the device mesh
+    (shard_map), chunk+hash per device, and run the compacted global-dedup
+    all-gather collective per batch (SURVEY §2.5; the role the reference's
+    thread pool + nothing plays — there is no multi-node reference).
+
+    Single-controller assembly: the sharded (sizes, hashes) outputs are
+    fetched as global arrays (XLA gathers shards transparently); on a
+    real multi-host deployment the same step runs unchanged and hosts
+    would consume the *replicated* dedup output instead of the shards.
+    """
+    import jax
+
+    from longtail_tpu.parallel.device_chunker import ChunkerConfig
+    from longtail_tpu.parallel.distributed import make_sharded_chunk_fn
+
+    cfg = ChunkerConfig.from_target(target_chunk_size)
+    n_dev = mesh.devices.size
+    lanes_per_dev = 1
+    B = n_dev * lanes_per_dev
+    P = target_chunk_size * 1024
+    fn = make_sharded_chunk_fn(cfg, mesh, lanes_per_dev, P)
+
     count = file_infos.count
     results = [
         (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32))
@@ -175,19 +286,43 @@ def _chunk_assets_device(storage, root: str, file_infos: FileInfos,
             size = int(file_infos.sizes[i])
             path = file_infos.paths[i]
             full = f"{root}/{path}" if root else path
+            read = _part_reader(storage, full, size)
             pos = 0
             while pos < size:
-                n = min(max_part, size - pos)
-                yield i, np.frombuffer(storage.read(full, pos, n),
-                                       dtype=np.uint8)
+                n = min(P, size - pos)
+                yield i, read(pos, n)
                 pos += n
 
     acc: dict[int, list] = {}
     done = 0
-    for i, sizes, hashes in indexer.index_stream(parts()):
-        acc.setdefault(i, []).append((hashes, sizes))
-        done += 1
-        progress(min(done, count), count)
+
+    def flush(batch):
+        nonlocal done
+        buf = np.zeros((B, P), dtype=np.uint8)
+        lengths = np.zeros((B,), dtype=np.int32)
+        for j, (_, part) in enumerate(batch):
+            buf[j, : len(part)] = part
+            lengths[j] = len(part)
+        sizes, lo, hi, _, _, _, _ = fn(buf, lengths)
+        sizes = np.asarray(sizes)
+        h = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
+            np.asarray(lo).astype(np.uint64)
+        for j, (tag, _) in enumerate(batch):
+            n_c = int((sizes[j] > 0).sum())
+            acc.setdefault(tag, []).append(
+                (h[j, :n_c], sizes[j, :n_c].astype(np.uint32)))
+            done += 1
+            progress(min(done, count), count)
+
+    batch: list = []
+    for item in parts():
+        batch.append(item)
+        if len(batch) == B:
+            flush(batch)
+            batch = []
+    if batch:
+        flush(batch)
+
     for i, pieces in acc.items():
         results[i] = (np.concatenate([p[0] for p in pieces]),
                       np.concatenate([p[1] for p in pieces]))
@@ -198,6 +333,7 @@ def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
                  hash_identifier: int, target_chunk_size: int,
                  asset_tags: np.ndarray | None = None,
                  workers: int | None = None, xp=np,
+                 mesh=None,
                  progress=null_progress) -> ChunkedAssets:
     from longtail_tpu.formats.constants import HASH_TYPE_BLAKE3
 
@@ -208,10 +344,19 @@ def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
         [hasher.hash_buffer(p.encode("utf-8")) for p in file_infos.paths],
         dtype=np.uint64) if count else np.zeros(0, dtype=np.uint64)
 
-    if xp is not np and hash_identifier == HASH_TYPE_BLAKE3:
+    from longtail_tpu.formats.constants import HASH_TYPE_BLAKE2
+
+    device_kinds = {HASH_TYPE_BLAKE3: "blake3", HASH_TYPE_BLAKE2: "blake2"}
+    if mesh is not None and hash_identifier == HASH_TYPE_BLAKE3:
+        # multi-chip data plane: lanes sharded over the mesh + dedup
+        # collective (parallel/distributed.py)
+        results = _chunk_assets_mesh(
+            storage, root, file_infos, target_chunk_size, mesh, progress)
+    elif xp is not np and hash_identifier in device_kinds:
         # device data plane (chunk scan + resolution + hashing on TPU)
         results = _chunk_assets_device(
-            storage, root, file_infos, target_chunk_size, progress)
+            storage, root, file_infos, target_chunk_size,
+            device_kinds[hash_identifier], progress, workers or 8)
     else:
         results = [None] * count
 
@@ -276,9 +421,12 @@ def create_version_index(storage: Storage, root: str,
                          target_chunk_size: int = 32768,
                          asset_tags: np.ndarray | None = None,
                          workers: int | None = None, xp=np,
-                         path_filter=None,
+                         mesh=None, path_filter=None,
                          progress=null_progress) -> VersionIndex:
-    """Longtail_CreateVersionIndex (src/longtail.c:2808)."""
+    """Longtail_CreateVersionIndex (src/longtail.c:2808).
+
+    ``mesh``: a jax.sharding.Mesh — shard the chunk+hash data plane over
+    its devices (multi-chip path, parallel/distributed.py)."""
     from longtail_tpu.formats.constants import HASH_TYPE_BLAKE3
     if hash_identifier is None:
         hash_identifier = HASH_TYPE_BLAKE3
@@ -287,7 +435,8 @@ def create_version_index(storage: Storage, root: str,
                                            workers=workers or 1)
 
     ca = chunk_assets(storage, root, file_infos, hash_identifier,
-                      target_chunk_size, asset_tags, workers, xp, progress)
+                      target_chunk_size, asset_tags, workers, xp,
+                      mesh, progress)
 
     # dedup chunks preserving first-occurrence order (src/longtail.c:2949-2972)
     uniq_hashes, first_idx, inverse = np.unique(

@@ -4,16 +4,19 @@ put them into a block store.
 Mirrors Longtail_WriteContent (src/longtail.c:4760) + WriteContentBlockJob
 (:4559) + CreateAssetPartLookup (:4429): each block's chunks are read from
 the first asset that contains them, at the byte offset implied by the asset's
-chunk sequence.  Host-side parallelism via a thread pool (the analog of one
-bikeshed job per block); the reference's EBUSY suspend/resume seam maps to
-synchronous puts here because our stores are synchronous.
+chunk sequence.  Parallelism via the two-channel job graph
+(parallel/jobgraph.py, the Bikeshed counterpart): assembly jobs on channel
+0 feed per-block put jobs on channel 1, the same shape as the reference's
+shed jobs + async PutStoredBlock completion.
 """
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+import threading
 
 import numpy as np
+
+from longtail_tpu.parallel.jobgraph import JobGraph
 
 from longtail_tpu.formats.store_index import StoreIndex, StoredBlock
 from longtail_tpu.formats.version_index import VersionIndex
@@ -73,7 +76,7 @@ def write_content(source_storage: Storage, block_store,
     part_lookup = create_asset_part_lookup(version_index)
     total = missing_store_index.block_count
 
-    def write_block(b: int) -> None:
+    def assemble_block(b: int) -> StoredBlock:
         check(cancel_token)
         mon = get_monitor()
         bh = int(missing_store_index.block_hashes[b])
@@ -106,22 +109,40 @@ def write_content(source_storage: Storage, block_store,
                 flush_read()
                 pend_asset, pend_offset, pend_size = asset, offset, psize
         flush_read()
-        block = StoredBlock(
+        return StoredBlock(
             block_index=missing_store_index.get_block_index(b),
             block_data=bytes(parts))
+
+    done = 0
+    done_lock = threading.Lock()
+
+    def put_block(b: int, block: StoredBlock) -> None:
+        nonlocal done
+        check(cancel_token)
+        mon = get_monitor()
+        bh = int(missing_store_index.block_hashes[b])
         if mon:
             mon.block_save(b, bh, len(block.block_data))
         block_store.put_stored_block(block)
         if mon:
             mon.block_save_complete(b, bh)
+        with done_lock:
+            done += 1
+            progress(done, total)
 
     if workers > 1 and total > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            done = 0
-            for _ in pool.map(write_block, range(total)):
-                done += 1
-                progress(done, total)
+        # two-channel job graph (the reference's WriteContentBlockJob on
+        # the shed + async PutStoredBlock park/resume, src/longtail.c:
+        # 4559-4758): channel 0 assembles block payloads from source
+        # reads, channel 1 carries the store puts, with a dependency
+        # edge per block so puts overlap later assemblies
+        graph = JobGraph(workers={0: workers, 1: max(2, workers // 2)})
+        for b in range(total):
+            a = graph.add(lambda b=b: assemble_block(b))
+            graph.add(
+                lambda b=b, a=a: put_block(b, graph.result(a)),
+                deps=[a], channel=1)
+        graph.run()
     else:
         for b in range(total):
-            write_block(b)
-            progress(b + 1, total)
+            put_block(b, assemble_block(b))

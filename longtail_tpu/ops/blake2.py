@@ -86,13 +86,22 @@ def hash_chunks_u32(data_u8, lengths, xp=np):
     length must be zero (callers pad with zeros)."""
     u32 = np.uint32
     lanes, padded = data_u8.shape
+    d = data_u8.astype(u32).reshape(lanes, padded // 4, 4)
+    words = (d[:, :, 0] | (d[:, :, 1] << u32(8))
+             | (d[:, :, 2] << u32(16)) | (d[:, :, 3] << u32(24)))
+    return hash_chunks_words(words, lengths, xp=xp)
+
+
+def hash_chunks_words(words, lengths, xp=np):
+    """As hash_chunks_u32 over pre-packed little-endian u32 words
+    ((lanes, padded//4)); the device pack kernel emits words directly."""
+    u32 = np.uint32
+    lanes, padded4 = words.shape
+    padded = padded4 * 4
     assert padded % BLOCK_BYTES == 0 and padded > 0
     n_blocks_max = padded // BLOCK_BYTES
 
     lengths = xp.asarray(lengths, dtype=u32)
-    d = data_u8.astype(u32).reshape(lanes, padded // 4, 4)
-    words = (d[:, :, 0] | (d[:, :, 1] << u32(8))
-             | (d[:, :, 2] << u32(16)) | (d[:, :, 3] << u32(24)))
 
     n_blocks = xp.maximum(
         (lengths + u32(BLOCK_BYTES - 1)) // u32(BLOCK_BYTES), u32(1))

@@ -16,7 +16,16 @@ from longtail_tpu.ops import lz4
 class Lz4Codec:
     tags = (C.COMPRESSION_TYPE_LZ4_DEFAULT,)
 
+    # process-wide switch: route lz4 compression through the TPU match
+    # scanner (parallel/device_lz4.py); the output stays standard 'lz42'
+    # block format so decoders are unchanged.  Enabled by the CLI
+    # --device flag (cli.py).
+    use_device = False
+
     def compress(self, tag: int, data: bytes) -> bytes:
+        if Lz4Codec.use_device:
+            from longtail_tpu.parallel.device_lz4 import compress_block
+            return compress_block(data)
         return lz4.compress(data)
 
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:

@@ -174,3 +174,96 @@ def decompress(src: bytes, dst_size: int) -> bytes:
     if r != dst_size:
         raise ValueError(f"lz4: decompressed {r} != expected {dst_size}")
     return dst.raw[:dst_size]
+
+
+# ---------------------------------------------------------------------------
+# match-list assembler (the host half of the device codec,
+# parallel/device_lz4.py; native/lz4_assemble.c is the fast path)
+# ---------------------------------------------------------------------------
+
+_asm_lib = None
+_asm_checked = False
+
+
+def _native_asm():
+    global _asm_lib, _asm_checked
+    if not _asm_checked:
+        _asm_checked = True
+        lib = native.load("lz4_assemble", ["lz4_assemble.c"])
+        if lib is not None:
+            lib.lt_lz4_assemble.restype = ctypes.c_long
+            lib.lt_lz4_assemble.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_char_p, ctypes.c_long]
+        _asm_lib = lib
+    return _asm_lib
+
+
+def _py_assemble(src: bytes, starts, refs, lens) -> bytes:
+    """Pure-Python mirror of native/lz4_assemble.c."""
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+    limit = n - _LASTLITERALS
+    mstart_limit = n - _MFLIMIT
+
+    def emit_len(rest: int) -> None:
+        rest -= 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+
+    for s, r, ln in zip(starts, refs, lens):
+        s, r, ln = int(s), int(r), int(ln)
+        if s < anchor:
+            d = anchor - s
+            s += d
+            r += d
+            ln -= d
+        ln = min(ln, limit - s)
+        if ln < _MINMATCH or s >= mstart_limit or r < 0 or r >= s or \
+                s - r > _MAX_DISTANCE:
+            continue
+        lit = s - anchor
+        mcode = ln - _MINMATCH
+        out.append((min(lit, 15) << 4) | min(mcode, 15))
+        if lit >= 15:
+            emit_len(lit)
+        out += src[anchor:s]
+        off = s - r
+        out.append(off & 0xFF)
+        out.append(off >> 8)
+        if mcode >= 15:
+            emit_len(mcode)
+        anchor = s + ln
+    lit = n - anchor
+    out.append(min(lit, 15) << 4)
+    if lit >= 15:
+        emit_len(lit)
+    out += src[anchor:]
+    return bytes(out)
+
+
+def assemble_matches(src: bytes, starts, refs, lens) -> bytes:
+    """Serialize a position-sorted match list into the LZ4 block format.
+
+    Overlapping / out-of-bounds matches are trimmed or skipped, so any
+    list yields a valid stream (worst case all-literals)."""
+    import numpy as np
+
+    lib = _native_asm()
+    if lib is None:
+        return _py_assemble(src, starts, refs, lens)
+    st = np.ascontiguousarray(starts, dtype=np.int32)
+    rf = np.ascontiguousarray(refs, dtype=np.int32)
+    ln = np.ascontiguousarray(lens, dtype=np.int32)
+    cap = compress_bound(len(src))
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.lt_lz4_assemble(
+        src, len(src),
+        st.ctypes.data, rf.ctypes.data, ln.ctypes.data, len(st), dst, cap)
+    if r < 0:
+        raise ValueError("lz4 assemble: overflow")
+    return dst.raw[:r]

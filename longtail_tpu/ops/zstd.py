@@ -1,8 +1,10 @@
-"""zstd codec dispatch: native C fast path with the from-spec Python
-implementation (ops/zstd_frame.py) as oracle and fallback.
+"""zstd codec dispatch: system libzstd fast path (the same
+vendor-the-upstream choice the reference makes, lib/zstd vendors zstd
+1.5.6) with the from-spec Python implementation (ops/zstd_frame.py) as
+oracle and always-available fallback.
 
 Mirrors ops/lz4.py's structure: callers get `compress`/`decompress`; the
-implementation is selected once at import by probing the native library.
+implementation is selected once at first use by probing for libzstd.
 """
 
 from __future__ import annotations
@@ -42,35 +44,17 @@ class _SystemZstd:
 
 
 def _load_native():
-    """Bind the fastest available zstd once; False caches a failed probe.
-
-    Order: repo-built native helper, system libzstd, then the from-spec
-    Python implementation (zstd_frame) as the always-there fallback.
-    """
+    """Bind system libzstd once; False caches a failed probe.  AttributeError
+    is caught too: a library that loads but lacks the ZSTD_* symbols must
+    fall through to the from-spec Python implementation."""
     global _native
     if _native is None:
         try:
-            from longtail_tpu import native
-            lib = native.load("zstd_block", ["zstd_block.c"])
-            if lib is not None:
-                lib.lt_zstd_compress.restype = ctypes.c_long
-                lib.lt_zstd_compress.argtypes = [
-                    ctypes.c_char_p, ctypes.c_size_t,
-                    ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
-                lib.lt_zstd_decompress.restype = ctypes.c_long
-                lib.lt_zstd_decompress.argtypes = [
-                    ctypes.c_char_p, ctypes.c_size_t,
-                    ctypes.c_char_p, ctypes.c_size_t]
-            _native = lib if lib is not None else False
-        except Exception:
+            import ctypes.util
+            path = ctypes.util.find_library("zstd") or "libzstd.so.1"
+            _native = _SystemZstd(ctypes.CDLL(path))
+        except (OSError, AttributeError):
             _native = False
-        if _native is False:
-            try:
-                import ctypes.util
-                path = ctypes.util.find_library("zstd") or "libzstd.so.1"
-                _native = _SystemZstd(ctypes.CDLL(path))
-            except OSError:
-                _native = False
     return _native or None
 
 

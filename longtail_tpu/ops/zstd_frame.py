@@ -16,8 +16,9 @@ implementation:
   FSE-compressed weight serialization), raw/RLE block fallbacks.  Output is
   decodable by upstream zstd.
 
-Pure Python: this is the spec oracle and host fallback; the native C fast
-path mirrors it (longtail_tpu/native/zstd_block.c).
+Pure Python: this is the spec oracle and host fallback; the fast path is
+system libzstd bound in ops/zstd.py (the reference vendors upstream zstd
+the same way, lib/zstd/).
 """
 
 from __future__ import annotations

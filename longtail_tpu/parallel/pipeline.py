@@ -2,27 +2,37 @@
 
 The reference's chunking hot loop is one Bikeshed job per file part
 (``ChunkAssets`` src/longtail.c:2429-2462); ours batches file parts into
-fixed-shape ``(lanes, part_bytes)`` uint8 buffers and streams them through
-the device in a two-stage async pipeline:
+fixed-shape row buffers and streams them through the device in a
+three-stage async pipeline:
 
-- **Stage 1 (device)**: candidate scan + cut resolution
-  (``device_chunker.candidate_mask`` / ``resolve_ends``) over a whole lane
-  batch in one jitted dispatch. Only chunk *sizes* come back to host —
-  a ~4000:1 data reduction vs the byte stream.
-- **Stage 2 (host plan + device hash)**: host groups the resolved chunks by
-  power-of-two padded size (static-shape discipline), then one jitted
-  gather+BLAKE3 dispatch per size bucket hashes every chunk, reading the
-  lane batch that is *already resident in HBM* from stage 1.
+- **Stage 1 (device)**: fused Pallas candidate scan + cut-resolution walk
+  (parallel/stage1.py) over a whole lane batch: three dispatches, ~9 GB/s
+  on a v5e chip.  Only chunk *sizes* come back to host — a ~1000:1 data
+  reduction vs the byte stream.
+- **Stage 2 (host plan)**: host groups the resolved chunks by
+  power-of-two padded size class (static-shape discipline), repairing any
+  ambiguity-flagged lane exactly via the native host chunker.
+- **Stage 3 (device)**: per class, one Pallas pack kernel gathers chunk
+  bytes at arbitrary offsets out of the resident batch into aligned word
+  rows, and the Pallas BLAKE3 kernel (ops/blake3_kernel.py) hashes them
+  (~100 GB/s).
 
-Because jax dispatch is async, stage 1 of batch N+1 and the host planning of
-batch N overlap device compute; file I/O is overlapped by a prefetch thread.
-The single-dispatch ``device_chunker.index_parts`` form instead gathers all
-chunks padded to max_size, which is quadratic-ish in waste for production
-part sizes (32 MiB parts -> TB-scale gathers) — this pipeline's bucketed
-stage 2 keeps the gather at ~2x payload bytes.
+Shape discipline: every device program sees a handful of static shapes —
+one stage-1 geometry and one (padded, rows) pair per size class — so a
+cold start compiles ~10 programs; ``DevicePartIndexer(prewarm=True)``
+compiles them concurrently at construction.  Device buffers use the
+canonical ``(n_bytes // 128, 128)`` u8 row layout end to end: XLA's
+compile time for large u8 reshapes is pathological (139 s for a 64 MiB
+(B, P) -> rows reshape on this toolchain), so hosts lay out rows before
+``device_put`` and device code never reshapes u8.
 
-Bit-exactness: stage 1 + stage 2 produce exactly the chunk boundaries and
-BLAKE3-64 hashes of the host oracle (tests/test_pipeline.py).
+Because jax dispatch is async, stage 1 of batch N+1 overlaps host
+planning of batch N and the hash dispatches of batch N-1; file I/O is
+overlapped by a prefetch thread.
+
+Bit-exactness: stages 1-3 produce exactly the chunk boundaries and
+BLAKE3-64 hashes of the host oracle (tests/test_pipeline.py), with
+flagged lanes re-chunked on host (stage1 docstring).
 """
 
 from __future__ import annotations
@@ -35,89 +45,139 @@ from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 
-from longtail_tpu.ops import blake3 as _blake3
-from longtail_tpu.parallel.device_chunker import (
-    ChunkerConfig,
-    candidate_mask,
-    next_candidate_ends,
-    resolve_ends,
+from longtail_tpu.ops.blake3_kernel import hash_chunks_words_device
+from longtail_tpu.parallel.device_chunker import ChunkerConfig
+from longtail_tpu.parallel.stage1 import (
+    Stage1Plan,
+    make_stage1_fn,
+    repair_lane,
+    unpack_stage1,
 )
 
 _LEAF = 1024
 
-
-@functools.lru_cache(maxsize=16)
-def make_resolve_fn(cfg: ChunkerConfig, max_chunks: int):
-    """jit: (B, P) u8 parts + (B,) lengths -> (B, max_chunks) i32 sizes."""
-    import jax
-    import jax.numpy as jnp
-
-    def fn(parts, lengths):
-        mask = candidate_mask(parts, discriminator=cfg.discriminator)
-        nexts = next_candidate_ends(mask, lengths)
-        ends = resolve_ends(nexts, lengths, cfg, max_chunks)
-        starts = jnp.concatenate(
-            [jnp.zeros((ends.shape[0], 1), jnp.int32), ends[:, :-1]], axis=1)
-        return ends - starts
-
-    return jax.jit(fn)
+# Per-dispatch packed-chunk budget: rows * padded == this for every size
+# class, so each class has exactly ONE compiled (padded, rows) variant and
+# rows * padded / 1024 leaves is always a multiple of 1024 (the BLAKE3
+# kernel's lane-tile requirement).
+_ROWS_BUDGET = 8 << 20
 
 
-@functools.lru_cache(maxsize=32)
-def make_gather_hash_fn(padded: int):
-    """jit: (parts (B,P) u8, flat_starts (rows,) i32, sizes (rows,) i32)
-    -> (lo, hi) u32 hash words. flat_starts index into parts.reshape(-1);
-    rows with size 0 are padding (hash discarded by the caller)."""
-    import jax
-    import jax.numpy as jnp
+def _rows_for(padded: int) -> int:
+    # floor 256: the blake2 kernel tiles 256 chunk-lanes per grid step
+    # (and 256 * max class size still fits the dispatch budget 2x over)
+    return max(256, _ROWS_BUDGET // int(padded))
 
-    def fn(parts, flat_starts, sizes):
-        flat = parts.reshape(-1)
-        n = flat.shape[0]
-        offs = jnp.arange(padded, dtype=jnp.int32)
-        idx = flat_starts[:, None] + offs[None, :]
-        in_range = offs[None, :] < sizes[:, None]
-        data = jnp.where(
-            in_range, jnp.take(flat, jnp.clip(idx, 0, n - 1), axis=0), 0)
-        return _blake3.hash_chunks_u32(data, sizes, xp=jnp)
 
-    return jax.jit(fn)
+def _padded_words_rows(n_u8_rows: int, slack_words: int) -> int:
+    """Row count of make_pad_words_fn's output for an (R, 128) u8 input."""
+    w2 = n_u8_rows // 4
+    extra = -(-slack_words // 128)
+    return w2 + ((-(w2 + extra)) % 8) + extra
 
 
 @functools.lru_cache(maxsize=8)
 def make_pad_words_fn(slack_words: int):
-    """jit: (B, P) u8 -> (>= B*P//4 + slack_words,) u32 little-endian word
-    view, zero-padded to a multiple of 1024 words so the pack kernel can
-    view it as (n, 1024) 4 KiB rows with every DMA window in bounds."""
+    """jit: (R, 128) u8 rows -> (R2, 128) u32 little-endian word rows,
+    zero-padded with >= slack_words extra words and a row count divisible
+    by 8, so every pack-kernel DMA window is in bounds."""
     import jax
     import jax.numpy as jnp
 
-    def fn(parts):
+    @jax.jit
+    def fn(rows_u8):
+        R = rows_u8.shape[0]
         words = jax.lax.bitcast_convert_type(
-            parts.reshape(-1, 4), jnp.uint32)
-        n = words.shape[0] + slack_words
-        return jnp.pad(words, (0, -(-n // 1024) * 1024 - words.shape[0]))
+            rows_u8.reshape(R, 32, 4), jnp.uint32)   # (R, 32)
+        w2 = words.reshape(R // 4, 128)
+        pad_rows = _padded_words_rows(R, slack_words) - w2.shape[0]
+        return jnp.pad(w2, ((0, pad_rows), (0, 0)))
 
-    return jax.jit(fn)
+    return fn
 
 
-@functools.lru_cache(maxsize=64)
-def make_pack_hash_fn(padded: int, rows: int):
-    """jit: (flat_words (Nw,) u32, starts (rows,) i32 byte offsets,
+def _words_hasher(kind: str, device: bool):
+    """words-level hash entry for a hash seam: (words, lengths)->(lo, hi)."""
+    if kind == "blake3":
+        if device:
+            return functools.partial(hash_chunks_words_device,
+                                     skip_empty_tiles=True)
+        from longtail_tpu.ops import blake3 as _b
+        import jax.numpy as jnp
+        return lambda w, s: _b.hash_chunks_words(w, s, xp=jnp)
+    if kind == "blake2":
+        if device:
+            from longtail_tpu.ops import blake2_kernel as _b2k
+            return _b2k.hash_chunks_words_device
+        from longtail_tpu.ops import blake2 as _b2
+        import jax.numpy as jnp
+        return lambda w, s: _b2.hash_chunks_words(w, s, xp=jnp)
+    raise ValueError(f"no device hasher for {kind!r}")
+
+
+@functools.lru_cache(maxsize=32)
+def make_gather_hash_xla(padded: int, rows: int, kind: str = "blake3"):
+    """Pure-XLA stage 3 (non-TPU backends): flat-gather chunk bytes out of
+    the word rows and hash with the batched XLA hasher.  Exact but slow on
+    TPU (dynamic gather); used where pallas interpret mode would unroll
+    the grid at trace time.  Gather and hash are SEPARATE jits: fusing the
+    take-gather into the hash's fori body hangs the XLA CPU optimizer
+    (observed minutes-to-hours; each piece alone compiles in seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    hasher = _words_hasher(kind, device=False)
+
+    @jax.jit
+    def gather_fn(words2d, starts, sizes):
+        flat = words2d.reshape(-1)
+        nw = flat.shape[0]
+        # gather word-aligned window then shift off the 0..3 byte phase
+        w0 = starts // 4
+        offs = jnp.arange(padded // 4 + 1, dtype=jnp.int32)
+        idx = jnp.clip(w0[:, None] + offs[None, :], 0, nw - 1)
+        win = jnp.take(flat, idx, axis=0)            # (rows, P4+1)
+        sh = ((starts % 4) * 8).astype(jnp.uint32)[:, None]
+        lo = win[:, :-1] >> sh
+        # two-step left shift keeps counts < 32 when sh == 0
+        hi = (win[:, 1:] << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+        words = lo | hi                              # (rows, P4)
+        byte0 = (jnp.arange(padded // 4, dtype=jnp.int32) * 4)[None, :]
+        nb = jnp.clip(sizes[:, None] - byte0, 0, 4)
+        nbp = jnp.minimum(nb, 3).astype(jnp.uint32)
+        pmask = (jnp.uint32(1) << (nbp * 8)) - jnp.uint32(1)
+        m = jnp.where(nb >= 4, jnp.uint32(0xFFFFFFFF),
+                      jnp.where(nb > 0, pmask, jnp.uint32(0)))
+        return words & m
+
+    # NOTE: no jnp.stack on the hash output — appending a stack to the
+    # hash graph makes the XLA CPU backend emit a program that never
+    # terminates (observed on jax 0.9 / this toolchain; each piece alone
+    # runs fine).  retire() np.asarray's the (lo, hi) tuple instead.
+    hash_fn = jax.jit(hasher)
+
+    def fn(words2d, starts, sizes):
+        return hash_fn(gather_fn(words2d, starts, sizes), sizes)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
+    """jit: (words2d (N2, 128) u32, starts (rows,) i32 byte offsets,
     sizes (rows,) i32) -> (lo, hi) u32 hash words.
 
     Packs each chunk's bytes into a (rows, padded//4) u32 word batch with a
-    Pallas kernel, then BLAKE3-hashes the batch.  A flat ``jnp.take``
-    gather lowers to a dynamic gather (~750 ms vs ~3 ms of BLAKE3 work on a
-    64 MiB batch); instead each row issues one 2-D DMA of the
-    (n_rows, 1024)-word window holding its chunk — the word stream is
-    viewed as rows of 1024 words (4 KiB) so both DMA sides carry standard
-    2-D tiling (a 1-D HBM->VMEM DMA trips "tiling mismatch for 1D tiles"
-    in Mosaic) — then shifts the extra 0..4095 window bytes off
+    Pallas kernel, then BLAKE3-hashes the batch with the Pallas tree
+    kernel.  A flat ``jnp.take`` gather lowers to a dynamic gather (~750 ms
+    vs ~3 ms of BLAKE3 work on a 64 MiB batch); instead each row issues one
+    2-D DMA of the (n_rows, 1024)-word window holding its chunk — the word
+    stream is viewed as rows of 128 words (512 B) so both DMA sides carry
+    standard 2-D tiling — then shifts the extra 0..4095 window bytes off
     in-register: a dynamic lane rotate + one-row sublane carry emulates
     the flattened word rotate, and a sub-word byte funnel shift finishes.
-    flat_words must carry >= padded//4 + 2048 slack words past the last
-    valid start and be a multiple of 1024 words long (make_pad_words_fn).
+    words2d must carry >= padded//4 + 2048 slack words past the last
+    valid start and have a row count divisible by 8 (make_pad_words_fn).
     Rows with size 0 are padding.
     """
     import jax
@@ -126,8 +186,7 @@ def make_pack_hash_fn(padded: int, rows: int):
     from jax.experimental.pallas import tpu as pltpu
 
     # 8 rows per grid step: the output block sublane dim must be a multiple
-    # of 8, and batching the DMAs keeps the DMA engine busy.  `rows` is
-    # pow2-rounded >= 32 by the caller.
+    # of 8, and batching the DMAs keeps the DMA engine busy.
     R = 8
     assert rows % R == 0
     P4 = padded // 4          # payload words per row
@@ -142,6 +201,11 @@ def make_pack_hash_fn(padded: int, rows: int):
         g = pl.program_id(0)
         slot = jax.lax.rem(g, 2)
         nslot = 1 - slot
+        # used rows are packed to the front, so a step whose FIRST row has
+        # size 0 is all padding: skip its DMAs and compute entirely (its
+        # output is garbage the host never reads).  Callers size classes
+        # generously; this makes the padding rows free.
+        has_work = sizes_ref[g * R] > 0
 
         def dma(row, s, i):
             r0 = (starts_ref[row] // 4096) * 8   # 4 KiB floor, 8-row tiles
@@ -149,55 +213,58 @@ def make_pack_hash_fn(padded: int, rows: int):
                 words_ref.at[pl.ds(pl.multiple_of(r0, 8), NW)],
                 scratch.at[s, i], sems.at[s, i])
 
-        @pl.when(g == 0)
+        @pl.when((g == 0) & has_work)
         def _():
             for i in range(R):
                 dma(i, 0, i).start()
 
-        @pl.when(g + 1 < rows // R)
+        @pl.when((g + 1 < rows // R)
+                 & (sizes_ref[jnp.minimum((g + 1) * R, rows - 1)] > 0))
         def _():
             for i in range(R):
                 dma((g + 1) * R + i, nslot, i).start()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NW, L), 1)
-        byte0 = (jax.lax.broadcasted_iota(jnp.int32, (NW, L), 0) * L
-                 + lane) * 4
-        rows_out = []
-        for i in range(R):
-            dma(g * R + i, slot, i).wait()
-            start = starts_ref[g * R + i]
-            d = jax.lax.rem(start, 4096)      # byte offset within window
-            q = jax.lax.div(d, 4)             # word shift, 0..1023
-            qr = jax.lax.div(q, L)            # whole-row part, 0..7
-            qc = jax.lax.rem(q, L)            # in-row part, 0..127
-            r8 = (jax.lax.rem(d, 4) * 8).astype(u32)  # sub-word bit shift
-            v = scratch[slot, i]              # (NW, L)
-            # y[a, b] = flatwindow[qc + a*L + b]: dynamic lane left-rotate
-            # by qc (cyclic roll right by L - qc), lanes that wrapped take
-            # the next sublane row's value instead.
-            w = pltpu.roll(v, L - qc, axis=1)
-            w1 = pltpu.roll(w, NW - 1, axis=0)      # w[a+1, b]
-            y = jnp.where(lane < L - qc, w, w1)
-            # u[a, b] = y[a + qr, b]: 8-way select over static row rolls
-            # (dynamic sublane rotates are not universally supported)
-            u = pltpu.roll(y, NW - 7, axis=0)       # k = 7
-            for k in range(6, -1, -1):
-                u = jnp.where(qr == k,
-                              pltpu.roll(y, (NW - k) % NW, axis=0), u)
-            # un[j] = flatwindow[q + j + 1]: static single-word shift
-            s1 = pltpu.roll(u, L - 1, axis=1)       # u[a, (b+1) % L]
-            d1 = pltpu.roll(s1, NW - 1, axis=0)     # u[a+1, (b+1) % L]
-            un = jnp.where(lane < L - 1, s1, d1)
-            # funnel shift; two-step left shift keeps counts < 32 when r8=0
-            row = (u >> r8) | ((un << (u32(31) - r8)) << u32(1))
-            # zero bytes at and beyond this row's size (exact hash input)
-            nb = jnp.clip(sizes_ref[g * R + i] - byte0, 0, 4)
-            nbp = jnp.minimum(nb, 3).astype(u32)    # keep shifts < 32
-            partial_mask = (u32(1) << (nbp * 8)) - u32(1)
-            mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
-                             jnp.where(nb > 0, partial_mask, u32(0)))
-            rows_out.append((row & mask)[:NOUT])
-        out_ref[:] = jnp.stack(rows_out, axis=0)     # (R, NOUT, L)
+        @pl.when(has_work)
+        def _compute():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (NW, L), 1)
+            byte0 = (jax.lax.broadcasted_iota(jnp.int32, (NW, L), 0) * L
+                     + lane) * 4
+            rows_out = []
+            for i in range(R):
+                dma(g * R + i, slot, i).wait()
+                start = starts_ref[g * R + i]
+                d = jax.lax.rem(start, 4096)  # byte offset within window
+                q = jax.lax.div(d, 4)         # word shift, 0..1023
+                qr = jax.lax.div(q, L)        # whole-row part, 0..7
+                qc = jax.lax.rem(q, L)        # in-row part, 0..127
+                r8 = (jax.lax.rem(d, 4) * 8).astype(u32)  # sub-word bits
+                v = scratch[slot, i]          # (NW, L)
+                # y[a, b] = flatwindow[qc + a*L + b]: dynamic lane
+                # left-rotate by qc (cyclic roll right by L - qc), lanes
+                # that wrapped take the next sublane row's value instead.
+                w = pltpu.roll(v, L - qc, axis=1)
+                w1 = pltpu.roll(w, NW - 1, axis=0)      # w[a+1, b]
+                y = jnp.where(lane < L - qc, w, w1)
+                # u[a, b] = y[a + qr, b]: 8-way select over static row
+                # rolls (dynamic sublane rotates aren't supported)
+                u = pltpu.roll(y, NW - 7, axis=0)       # k = 7
+                for k in range(6, -1, -1):
+                    u = jnp.where(qr == k,
+                                  pltpu.roll(y, (NW - k) % NW, axis=0), u)
+                # un[j] = flatwindow[q + j + 1]: static single-word shift
+                s1 = pltpu.roll(u, L - 1, axis=1)       # u[a, (b+1) % L]
+                d1 = pltpu.roll(s1, NW - 1, axis=0)     # u[a+1, (b+1) % L]
+                un = jnp.where(lane < L - 1, s1, d1)
+                # funnel shift; two-step left keeps counts < 32 when r8=0
+                row = (u >> r8) | ((un << (u32(31) - r8)) << u32(1))
+                # zero bytes at/after this row's size (exact hash input)
+                nb = jnp.clip(sizes_ref[g * R + i] - byte0, 0, 4)
+                nbp = jnp.minimum(nb, 3).astype(u32)    # keep shifts < 32
+                partial_mask = (u32(1) << (nbp * 8)) - u32(1)
+                mask = jnp.where(nb >= 4, u32(0xFFFFFFFF),
+                                 jnp.where(nb > 0, partial_mask, u32(0)))
+                rows_out.append((row & mask)[:NOUT])
+            out_ref[:] = jnp.stack(rows_out, axis=0)     # (R, NOUT, L)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -211,8 +278,10 @@ def make_pack_hash_fn(padded: int, rows: int):
         ],
     )
 
-    def fn(flat_words, starts, sizes):
-        words2d = flat_words.reshape(-1, L)
+    hasher = _words_hasher(kind, device=True)
+
+    @jax.jit
+    def fn(words2d, starts, sizes):
         packed = pl.pallas_call(
             pack_kernel,
             grid_spec=grid_spec,
@@ -220,9 +289,68 @@ def make_pack_hash_fn(padded: int, rows: int):
             interpret=jax.default_backend() != "tpu",
         )(starts, sizes, words2d)
         packed = packed.reshape(rows, NOUT * L)
-        return _blake3.hash_chunks_words(packed, sizes, xp=jnp)
+        lo, hi = hasher(packed, sizes)
+        return jnp.stack([lo, hi])          # (2, rows): one D2H fetch
 
-    return jax.jit(fn)
+    return fn
+
+
+def _row_mult(cls: int) -> int:
+    """Row-count divisibility for a size class: the blake2 kernel tiles
+    256 lanes, the blake3 kernel needs rows*leaves % 1024 == 0."""
+    leaves = cls // _LEAF
+    return max(256, 1024 // max(leaves, 1))
+
+
+def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
+    """Fixed per-batch bucket geometry: ((cls, rows), ...) for every
+    power-of-two size class, with rows sized ~1.4x the *expected* chunk
+    count of that class under the CDC size distribution
+    (P(size > s) ~ exp(-(s - min)/d)), so a typical batch fits each class
+    in its one fixed-shape dispatch.  Overflow spills to extra dispatches
+    of the same shape."""
+    import math
+
+    e_total = max(1, batch_bytes // cfg.avg_size)
+    d = float(cfg.discriminator)
+    mn = cfg.min_size
+
+    def p_gt(s):  # P(chunk size > s)
+        if s >= cfg.max_size:
+            return 0.0
+        return math.exp(-(max(s, mn) - mn) / d)
+
+    plan = []
+    c = _LEAF
+    while c <= cfg.padded_chunk:
+        share = p_gt(c // 2) - p_gt(c)
+        if c == cfg.padded_chunk:
+            share += p_gt(c)  # cap mass
+        m = _row_mult(c)
+        rows = max(m, -(-int(1.4 * share * e_total) // m) * m)
+        plan.append((c, rows))
+        c *= 2
+    return tuple(plan)
+
+
+@functools.lru_cache(maxsize=8)
+def make_split_fn(layout: tuple):
+    """jit: one uploaded i32 blob -> per-class (starts, sizes) device
+    arrays.  `layout` is ((cls, rows), ...); blob is the concatenation of
+    each class's starts then sizes.  One H2D upload per batch instead of
+    two per bucket (each numpy-arg upload costs an RTT on this rig)."""
+    import jax
+
+    @jax.jit
+    def fn(blob):
+        out = []
+        o = 0
+        for _, r in layout:
+            out.append((blob[o:o + r], blob[o + r:o + 2 * r]))
+            o += 2 * r
+        return out
+
+    return fn
 
 
 def _pow2_padded(sizes: np.ndarray, cap: int) -> np.ndarray:
@@ -231,24 +359,6 @@ def _pow2_padded(sizes: np.ndarray, cap: int) -> np.ndarray:
     pow2 = np.uint64(1) << np.uint64(
         np.ceil(np.log2(leaves)).astype(np.int64))
     return np.minimum(pow2.astype(np.int64) * _LEAF, cap)
-
-
-# Per-dispatch packed-chunk budget: rows * padded <= this.  One dispatch
-# shape per size class at steady state, so the number of distinct compiled
-# programs stays O(#size classes) — compiles are expensive (remote AOT).
-_ROWS_BUDGET = 8 << 20
-
-
-def _rows_cap(padded: int) -> int:
-    return max(32, _ROWS_BUDGET // int(padded))
-
-
-def _round_rows(n: int, cap: int) -> int:
-    """Pad bucket row counts to powers of two in [32, cap]."""
-    r = 32
-    while r < n and r < cap:
-        r *= 2
-    return min(r, cap)
 
 
 def _prefetch(it: Iterable, depth: int) -> Iterator:
@@ -281,52 +391,135 @@ class DevicePartIndexer:
 
     Parameters: ``target_chunk_size`` fixes the chunking geometry and the
     part size (``target_chunk_size * 1024``, src/longtail.c:2396-2404);
-    ``batch_bytes`` sizes the lane batch (static shape -> one compile).
+    ``batch_bytes`` sizes the lane batch (static shape -> one compile set).
+    ``prewarm`` compiles every device program concurrently up front.
     """
 
     def __init__(self, target_chunk_size: int,
-                 batch_bytes: int = 64 << 20, lanes: int | None = None):
+                 batch_bytes: int = 64 << 20, lanes: int | None = None,
+                 prewarm: bool = False, hash_kind: str = "blake3"):
+        import jax
+
+        self.hash_kind = hash_kind
         self.cfg = ChunkerConfig.from_target(target_chunk_size)
         self.part_bytes = target_chunk_size * 1024
+        self._on_tpu = jax.default_backend() == "tpu"
         self.lanes = lanes or max(1, batch_bytes // self.part_bytes)
-        self.max_chunks = self.cfg.max_chunks(self.part_bytes)
-        self._resolve = make_resolve_fn(self.cfg, self.max_chunks)
+        if not self._on_tpu and lanes is None:
+            # XLA CPU compile time grows superlinearly with the lane
+            # count (186 s at B=64 vs 9 s at B=3 for the resolve scan)
+            # and the host backend gains nothing from wide batches
+            self.lanes = min(self.lanes, 8)
+        self.plan = Stage1Plan(self.cfg, self.lanes, self.part_bytes)
+        self._stage1 = make_stage1_fn(self.plan)
+        # in-flight batches per pipeline stage: deep enough that the one
+        # synchronous fetch per batch overlaps other batches' dispatches
+        self.queue_depth = 3
+        self._slack = self.cfg.padded_chunk // 4 + 2048
+        self._class_plan = class_plan(self.cfg, self.lanes * self.part_bytes)
+        if prewarm:
+            self.prewarm()
 
-    def submit(self, tags, dev_parts, lengths):
-        """Stage 1 on an already-device-resident (B, P) uint8 batch:
-        dispatch the resolve step (async) and return the stage-1 entry."""
-        sizes_dev = self._resolve(dev_parts, lengths)  # async
-        return (tags, dev_parts, sizes_dev)
+    # -- compile warmup ---------------------------------------------------
+
+    def prewarm(self) -> None:
+        """Compile every device program this pipeline can dispatch, in
+        parallel (cold-start compile latency hiding; the persistent jax
+        compilation cache makes later runs instant)."""
+        import concurrent.futures as cf
+
+        import jax
+        import jax.numpy as jnp
+
+        B, P = self.lanes, self.part_bytes
+        R = B * P // 128
+
+        def warm_stage1():
+            rows = jnp.zeros((R, 128), jnp.uint8)
+            lens = jnp.zeros((B,), jnp.int32)
+            jax.block_until_ready(self._stage1(rows, lens)[0])
+
+        def warm_pad():
+            rows = jnp.zeros((R, 128), jnp.uint8)
+            jax.block_until_ready(make_pad_words_fn(self._slack)(rows))
+
+        def warm_class(cls, rows):
+            n2 = _padded_words_rows(R, self._slack)
+            w2 = jnp.zeros((n2, 128), jnp.uint32)
+            st = jnp.zeros((rows,), jnp.int32)
+            sz = jnp.zeros((rows,), jnp.int32)
+            jax.block_until_ready(
+                make_pack_hash_fn(cls, rows, self.hash_kind)(w2, st, sz))
+
+        def warm_split():
+            n = sum(2 * r for _, r in self._class_plan)
+            jax.block_until_ready(
+                make_split_fn(self._class_plan)(
+                    jnp.zeros((n,), jnp.int32))[0][0])
+
+        jobs = [warm_stage1, warm_pad, warm_split] + [
+            functools.partial(warm_class, c, r) for c, r in self._class_plan]
+        with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            list(ex.map(lambda f: f(), jobs))
+
+    # -- stage 1 ----------------------------------------------------------
+
+    def submit(self, tags, dev_rows, lengths, host_rows=None):
+        """Stage 1 on an already-device-resident (B*P//128, 128) uint8 row
+        batch: dispatch the resolve step (async; the result's D2H copy is
+        started immediately) and return the stage-1 entry.  host_rows
+        (same bytes on host) enables cheap lane repair."""
+        packed = self._stage1(dev_rows, lengths)  # async
+        return (tags, dev_rows, lengths, packed, host_rows)
 
     def submit_host(self, batch):
-        """Stage 1 from host parts: pack (tag, bytes) pairs into a lane
+        """Stage 1 from host parts: pack (tag, bytes) pairs into the row
         batch, stage to device, dispatch resolve."""
         import jax
 
         B, P = self.lanes, self.part_bytes
         tags = [t for t, _ in batch]
-        buf = np.zeros((B, P), dtype=np.uint8)
+        buf = np.zeros((B * P // 128, 128), dtype=np.uint8)
+        flat = buf.reshape(-1)
         lengths = np.zeros((B,), dtype=np.int32)
         for i, (_, part) in enumerate(batch):
             part = np.asarray(part, dtype=np.uint8)
             if len(part) > P:
                 raise ValueError(
                     f"part of {len(part)} bytes > part_bytes {P}")
-            buf[i, : len(part)] = part
+            flat[i * P: i * P + len(part)] = part
             lengths[i] = len(part)
-        return self.submit(tags, jax.device_put(buf), lengths)
+        return self.submit(tags, jax.device_put(buf), lengths,
+                           host_rows=buf)
+
+    # -- stage 2 + 3 ------------------------------------------------------
 
     def plan_hash(self, entry):
-        """Stage 2: sync stage-1 sizes, group chunks into power-of-two size
-        buckets, dispatch one gather+BLAKE3 call per bucket (async)."""
-        tags, dev_parts, sizes_dev = entry
+        """Stage 2: sync stage-1 sizes, repair any ambiguity-flagged lane,
+        group chunks into power-of-two size buckets, dispatch one
+        pack+BLAKE3 call per bucket group (async)."""
+        tags, dev_rows, lengths, packed_dev, host_rows = entry
         P = self.part_bytes
-        n = len(tags)
-        sizes = np.asarray(sizes_dev)  # sync point for stage 1
-        counts = (sizes > 0).sum(axis=1)
+        n_lanes = len(tags)
+        packed = np.asarray(packed_dev)  # sync point (D2H already running)
+        sizes, counts, amb = unpack_stage1(packed, self.plan)
+        for b in range(n_lanes):
+            if amb[b]:
+                if host_rows is not None:
+                    lane = host_rows.reshape(-1)[b * P: b * P + lengths[b]]
+                else:
+                    rp = P // 128
+                    lane = np.asarray(
+                        dev_rows[b * rp: (b + 1) * rp]).reshape(-1)
+                    lane = lane[: lengths[b]]
+                fixed = repair_lane(lane, self.cfg)
+                counts[b] = len(fixed)
+                sizes[b, : len(fixed)] = fixed
+                sizes[b, len(fixed):] = 0
+
         lane_sizes = []
         all_starts, all_sizes = [], []
-        for b in range(n):
+        for b in range(n_lanes):
             sz = sizes[b, : counts[b]].astype(np.int64)
             lane_sizes.append(sz.astype(np.uint32))
             st = np.zeros(len(sz), dtype=np.int64)
@@ -341,38 +534,98 @@ class DevicePartIndexer:
             flat_sizes = np.zeros(0, np.int64)
         padded = _pow2_padded(flat_sizes, self.cfg.padded_chunk) \
             if len(flat_sizes) else flat_sizes
-        flat_dev = make_pad_words_fn(
-            self.cfg.padded_chunk // 4 + 2048)(dev_parts)
+        words2d = make_pad_words_fn(self._slack)(dev_rows)
+        if self._on_tpu:
+            buckets = self._dispatch_buckets_tpu(
+                words2d, flat_starts, flat_sizes, padded)
+        else:
+            buckets = self._dispatch_buckets_xla(
+                words2d, flat_starts, flat_sizes, padded)
+        return (tags, lane_sizes, counts[:n_lanes], buckets)
+
+    def _dispatch_buckets_tpu(self, words2d, flat_starts, flat_sizes,
+                              padded):
+        """Fixed class plan, one H2D blob upload, device-sliced args: the
+        per-dispatch cost on the dev rig is the synchronous numpy-arg
+        upload (~1 ms RTT each), so the whole batch's starts/sizes travel
+        in one async upload and every pack dispatch takes device slices."""
+        import jax
+
+        plan = self._class_plan
+        spills = []  # (cls, rows_idx) overflow groups, same shapes
+        blob_parts = []
+        mapping = []  # rows_idx per planned slot, aligned with splits
+        for cls, r in plan:
+            rows_all = np.flatnonzero(padded == cls)
+            head, rest = rows_all[:r], rows_all[r:]
+            bs = np.zeros(r, dtype=np.int32)
+            bz = np.zeros(r, dtype=np.int32)
+            bs[: len(head)] = flat_starts[head]
+            bz[: len(head)] = flat_sizes[head]
+            blob_parts += [bs, bz]
+            mapping.append(head)
+            for off in range(0, len(rest), r):
+                spills.append((cls, r, rest[off: off + r]))
+        blob = jax.device_put(np.concatenate(blob_parts))
+        splits = make_split_fn(plan)(blob)
+        buckets = []
+        for (cls, r), (bs_d, bz_d), head in zip(plan, splits, mapping):
+            if len(head) == 0:
+                continue
+            res = make_pack_hash_fn(cls, r, self.hash_kind)(
+                words2d, bs_d, bz_d)  # async, (2, r)
+            res.copy_to_host_async()
+            buckets.append((res, head))
+        for cls, r, rows in spills:
+            bs = np.zeros(r, dtype=np.int32)
+            bz = np.zeros(r, dtype=np.int32)
+            bs[: len(rows)] = flat_starts[rows]
+            bz[: len(rows)] = flat_sizes[rows]
+            res = make_pack_hash_fn(cls, r, self.hash_kind)(words2d, bs, bz)
+            res.copy_to_host_async()
+            buckets.append((res, rows))
+        return buckets
+
+    def _dispatch_buckets_xla(self, words2d, flat_starts, flat_sizes,
+                              padded):
+        """Non-TPU path: small pow2-rounded shapes (compile diversity is
+        cheap on CPU, and interpret-mode pallas is avoided entirely)."""
         buckets = []
         for cls_size in np.unique(padded):
             rows_all = np.flatnonzero(padded == cls_size)
-            cap = _rows_cap(int(cls_size))
+            cap = _rows_for(int(cls_size))
             for off in range(0, len(rows_all), cap):
                 rows = rows_all[off: off + cap]
-                r = _round_rows(len(rows), cap)
+                r = 32
+                while r < len(rows):
+                    r *= 2
+                hash_fn = make_gather_hash_xla(int(cls_size), r,
+                                               self.hash_kind)
                 bs = np.zeros(r, dtype=np.int32)
                 bz = np.zeros(r, dtype=np.int32)
                 bs[: len(rows)] = flat_starts[rows]
                 bz[: len(rows)] = flat_sizes[rows]
-                lo, hi = make_pack_hash_fn(int(cls_size), r)(
-                    flat_dev, bs, bz)  # async
-                buckets.append((lo, hi, rows))
-        return (tags, lane_sizes, counts[:n], buckets)
+                res = hash_fn(words2d, bs, bz)  # async
+                buckets.append((res, rows))
+        return buckets
 
     def retire(self, entry):
-        """Stage 3: sync the bucket hash results and yield
+        """Stage 3 drain: sync the bucket hash results and yield
         (tag, sizes u32, hashes u64) per part in submission order."""
         tags, lane_sizes, counts, buckets = entry
         total = int(counts.sum())
         hashes = np.empty(total, dtype=np.uint64)
-        for lo, hi, rows in buckets:
-            lo = np.asarray(lo).astype(np.uint64)
-            hi = np.asarray(hi).astype(np.uint64)
+        for res, rows in buckets:
+            res = np.asarray(res)
+            lo = res[0].astype(np.uint64)
+            hi = res[1].astype(np.uint64)
             hashes[rows] = (lo | (hi << np.uint64(32)))[: len(rows)]
         off = 0
         for tag, sz, cnt in zip(tags, lane_sizes, counts):
             yield tag, sz, hashes[off: off + int(cnt)]
             off += int(cnt)
+
+    # -- streaming driver -------------------------------------------------
 
     def index_stream(self, tagged_parts: Iterable[Tuple[object, np.ndarray]],
                      prefetch_depth: int | None = None,
@@ -386,14 +639,15 @@ class DevicePartIndexer:
         stage1: deque = deque()
         stage2: deque = deque()
         batch: list = []
+        d = self.queue_depth
         for item in src:
             batch.append(item)
             if len(batch) == B:
                 stage1.append(self.submit_host(batch))
                 batch = []
-                if len(stage1) >= 2:
+                if len(stage1) >= d:
                     stage2.append(self.plan_hash(stage1.popleft()))
-                if len(stage2) >= 2:
+                if len(stage2) >= d:
                     yield from self.retire(stage2.popleft())
         if batch:
             stage1.append(self.submit_host(batch))

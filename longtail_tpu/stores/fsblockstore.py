@@ -119,14 +119,26 @@ class FSBlockStore(BlockStoreBase):
         self.stats.bump("put_stored_block_count")
 
     def get_stored_block(self, block_hash: int) -> StoredBlock:
+        # mmap the .lrb (lib/fsblockstore/longtail_fsblockstore.c:928):
+        # the parse slices straight out of the mapping, no staging copy
+        from longtail_tpu.stores.storage import map_or_read
+
         try:
-            blob = self.storage.read(self._block_path(block_hash))
+            with map_or_read(self.storage, self._block_path(block_hash)) \
+                    as mf:
+                blob = mf.view
+                self.stats.bump("get_stored_block_count")
+                self.stats.bump("get_stored_block_byte_count", len(blob))
+                sb = StoredBlock.from_bytes(blob)
+                # the index arrays are frombuffer views into the mapping;
+                # detach them before the map closes (payload is already a
+                # one-copy bytes — half the copies of the read() path)
+                bi = sb.block_index
+                bi.chunk_hashes = bi.chunk_hashes.copy()
+                bi.chunk_sizes = bi.chunk_sizes.copy()
         except (StorageError, FileNotFoundError):
             self.stats.bump("get_stored_block_fail_count")
             raise
-        self.stats.bump("get_stored_block_count")
-        self.stats.bump("get_stored_block_byte_count", len(blob))
-        sb = StoredBlock.from_bytes(blob)
         self.stats.bump("chunks_in_get_count", sb.block_index.chunk_count)
         return sb
 

@@ -45,6 +45,52 @@ class Storage(Protocol):
     def set_permissions(self, path: str, permissions: int) -> None: ...
     def lock_file(self, path: str): ...
     def unlock_file(self, handle) -> None: ...
+    def map_file(self, path: str) -> "MappedFile": ...
+
+
+class MappedFile:
+    """Zero-copy read-only view of a file — the Longtail_StorageAPI
+    MapFile/UnmapFile analog (src/longtail.h:380-382; the reference chunks
+    via mmap in DynamicChunking src/longtail.c:2130-2216 and fsblockstore
+    reads blocks via mmap, lib/fsblockstore/longtail_fsblockstore.c:928).
+
+    ``view`` is a memoryview over the file bytes; use as a context manager
+    so the underlying mapping is released deterministically."""
+
+    def __init__(self, view: memoryview, closer=None):
+        self.view = view
+        self._closer = closer
+
+    def __enter__(self) -> "MappedFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        """Best-effort unmap.  If the caller still holds zero-copy exports
+        (np.frombuffer slices), the OS mapping stays alive until they are
+        garbage-collected — same lifetime rule as the reference's
+        UnmapFile-after-use discipline, but safe against early close."""
+        try:
+            if isinstance(self.view, memoryview):
+                self.view.release()
+        except BufferError:
+            pass
+        if self._closer is not None:
+            try:
+                self._closer()
+            except BufferError:
+                pass
+            self._closer = None
+
+
+def map_or_read(storage, path: str) -> MappedFile:
+    """map_file when the storage supports it, else a bytes-backed view."""
+    mf = getattr(storage, "map_file", None)
+    if mf is not None:
+        return mf(path)
+    return MappedFile(memoryview(storage.read(path)))
 
 
 def ensure_parent_dirs(storage: Storage, path: str) -> None:
@@ -97,6 +143,27 @@ class FSStorage:
             for off, data in ranges:
                 f.seek(off)
                 f.write(data)
+
+    def map_file(self, path: str) -> MappedFile:
+        """mmap the file read-only (src/longtail.c:2130-2216)."""
+        import mmap as _mmap
+
+        f = open(self._p(path), "rb")
+        try:
+            size = os.fstat(f.fileno()).st_size
+            if size == 0:
+                f.close()
+                return MappedFile(memoryview(b""))
+            m = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except Exception:
+            f.close()
+            raise
+
+        def closer(m=m, f=f):
+            m.close()
+            f.close()
+
+        return MappedFile(memoryview(m), closer)
 
     def get_size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
@@ -221,6 +288,16 @@ class MemStorage:
                     bytearray(total_size - min(total_size, len(e.data)))
             for off, data in ranges:
                 e.data[off:off + len(data)] = data
+
+    def map_file(self, path: str) -> MappedFile:
+        """Zero-copy view of the in-memory entry.  A mutation through
+        write() while the map is open may invalidate the view (same
+        contract as an mmap'd file changing under the reader)."""
+        with self._lock:
+            e = self._entries.get(self._norm(path))
+            if e is None or e.data is None:
+                _raise(errno.ENOENT, path)
+            return MappedFile(memoryview(e.data).toreadonly())
 
     def get_size(self, path: str) -> int:
         with self._lock:

@@ -33,10 +33,22 @@ class _State:
     installed: bool = False
     contexts: dict = field(default_factory=dict)
     global_peak: int = 0
+    depth: int = 0          # live context() nesting (see context docstring)
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
 _state = _State()
+
+
+def _sample_global_peak() -> None:
+    """Fold the process-wide traced peak into global_peak so the reported
+    number covers allocations *between* contexts too (the reference's
+    memtracer tracks a process-wide peak, lib/memtracer/
+    longtail_memtracer.c:32-78)."""
+    if _state.installed:
+        _, peak = tracemalloc.get_traced_memory()
+        with _state.lock:
+            _state.global_peak = max(_state.global_peak, peak)
 
 
 def install() -> None:
@@ -48,6 +60,7 @@ def install() -> None:
 
 def uninstall() -> None:
     if _state.installed:
+        _sample_global_peak()
         tracemalloc.stop()
         _state.installed = False
 
@@ -70,17 +83,29 @@ def context(name: str):
 
     No-op (one attribute read) when the tracer is not installed, mirroring
     the reference's zero-cost default allocator path.
+
+    Peak attribution resets the interpreter-wide traced peak, so it is only
+    exact for the *outermost* context: nested or concurrent contexts share
+    the outer window's peak (their `mem` deltas stay exact).  The global
+    peak is additionally sampled at entry/exit and at dump/uninstall time,
+    so it covers the whole traced run, not just wrapped phases.
     """
     if not _state.installed:
         yield
         return
-    before, _ = tracemalloc.get_traced_memory()
-    tracemalloc.reset_peak()
+    before, peak_before = tracemalloc.get_traced_memory()
+    with _state.lock:
+        _state.global_peak = max(_state.global_peak, peak_before)
+        outermost = _state.depth == 0
+        _state.depth += 1
+    if outermost:
+        tracemalloc.reset_peak()
     try:
         yield
     finally:
         current, peak = tracemalloc.get_traced_memory()
         with _state.lock:
+            _state.depth -= 1
             st = _state.contexts.setdefault(name, ContextStats())
             st.count += 1
             st.mem += current - before
@@ -100,6 +125,7 @@ def global_peak() -> int:
 def dump_stats(csv_path: str | None = None) -> str:
     """Human summary (returned); optionally write the per-context CSV the
     reference dumps (lib/memtracer/longtail_memtracer.c:122)."""
+    _sample_global_peak()
     with _state.lock:
         rows = sorted(_state.contexts.items())
         gp = _state.global_peak

@@ -8,10 +8,6 @@ import os
 # which overrides the JAX_PLATFORMS env var — so we must override the
 # *config* after import, not just the env.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent XLA compile cache keeps repeat test runs fast
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache keeps repeat test runs fast.  Must be set
+# via config.update, not env vars: the env image's sitecustomize imports
+# jax at interpreter startup, freezing env-derived config before we run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

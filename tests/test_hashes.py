@@ -126,3 +126,69 @@ def test_blake2_batched_matches_hashlib():
             want = int.from_bytes(
                 hashlib.blake2s(m, digest_size=8).digest(), "little")
             assert got[i] == want, (xp.__name__, sizes[i])
+
+
+def test_blake3_pallas_kernel_matches_batched():
+    """Pallas leaf+tree kernel (interpret mode on CPU) == numpy batched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longtail_tpu.ops import blake3 as b3
+    from longtail_tpu.ops.blake3_kernel import hash_chunks_words_device
+
+    import jax
+
+    rng = np.random.default_rng(11)
+    # jit the call: interpret-mode pallas outside jit dispatches every op
+    # of the 16-block compression chain eagerly (minutes); compiled it's
+    # one CPU program
+    fn = jax.jit(hash_chunks_words_device)
+    # one shape: its lens edges cover empty/single-leaf/multi-leaf lanes,
+    # and the interpret-mode compile is minutes (persistent-cached after)
+    for rows, padded in [(64, 16384)]:
+        data = np.zeros((rows, padded), np.uint8)
+        lens = rng.integers(1, padded + 1, size=(rows,)).astype(np.uint32)
+        # exercise leaf-count edges: empty, single leaf, full
+        lens[0] = 0
+        lens[1] = 1
+        lens[2] = 1024
+        lens[3] = min(1025, padded)
+        lens[4] = padded
+        for i in range(rows):
+            data[i, :lens[i]] = rng.integers(
+                0, 256, size=lens[i], dtype=np.uint8)
+        words = np.frombuffer(data.tobytes(), "<u4").reshape(rows, padded // 4)
+        lo, hi = fn(jnp.asarray(words), jnp.asarray(lens))
+        got = (np.asarray(lo).astype(np.uint64)
+               | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
+        nlo, nhi = b3.hash_chunks_words(words, lens, xp=np)
+        want = nlo.astype(np.uint64) | (nhi.astype(np.uint64) << np.uint64(32))
+        assert (got == want).all(), (rows, padded)
+
+
+def test_blake2_pallas_kernel_matches_batched():
+    """BLAKE2s Pallas kernel (interpret on CPU) == numpy batched."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longtail_tpu.ops.blake2_kernel import hash_chunks_words_device
+
+    rng = np.random.default_rng(13)
+    rows, padded = 256, 2048
+    data = np.zeros((rows, padded), np.uint8)
+    lens = rng.integers(0, padded + 1, size=(rows,)).astype(np.uint32)
+    lens[:4] = [0, 1, 64, 65]
+    for i in range(rows):
+        data[i, :lens[i]] = rng.integers(0, 256, size=lens[i], dtype=np.uint8)
+    words = np.frombuffer(data.tobytes(), "<u4").reshape(rows, padded // 4)
+    lo, hi = jax.jit(hash_chunks_words_device)(
+        jnp.asarray(words), jnp.asarray(lens))
+    got = (np.asarray(lo).astype(np.uint64)
+           | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
+    for i in range(0, rows, 13):
+        want = int.from_bytes(hashlib.blake2s(
+            data[i, :lens[i]].tobytes(), digest_size=8).digest(), "little")
+        assert int(got[i]) == want, i

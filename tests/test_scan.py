@@ -73,3 +73,37 @@ def test_get_files_recursively_workers(tmp_path):
     assert a.paths == b.paths
     assert (a.sizes == b.sizes).all()
     assert (a.permissions == b.permissions).all()
+
+
+def test_map_file_fs_and_mem(tmp_path):
+    """map_file returns a zero-copy read-only view on both storages."""
+    import numpy as np
+
+    from longtail_tpu.stores.storage import (
+        FSStorage,
+        MemStorage,
+        map_or_read,
+    )
+
+    payload = bytes(range(256)) * 100
+    fs = FSStorage(str(tmp_path))
+    fs.write("f.bin", payload)
+    with fs.map_file("f.bin") as mf:
+        assert bytes(mf.view[300:400]) == payload[300:400]
+        arr = np.frombuffer(mf.view[0:16], np.uint8)
+        assert arr.tolist() == list(range(16))
+    ms = MemStorage()
+    ms.write("m.bin", payload)
+    with ms.map_file("m.bin") as mf:
+        assert bytes(mf.view[:10]) == payload[:10]
+        assert mf.view.readonly
+    # map_or_read falls back to a read()-backed view for foreign storages
+    class Minimal:
+        def read(self, path, offset=0, size=None):
+            return payload
+    with map_or_read(Minimal(), "x") as mf:
+        assert bytes(mf.view[:4]) == payload[:4]
+    # empty file maps to an empty view
+    fs.write("empty", b"")
+    with fs.map_file("empty") as mf:
+        assert len(mf.view) == 0
