@@ -35,6 +35,10 @@ def _build(name: str, sources: list[str]) -> str | None:
 
 
 def load(name: str, sources: list[str]) -> ctypes.CDLL | None:
+    if os.environ.get("LONGTAIL_TPU_NO_NATIVE"):
+        # force the pure-Python fallbacks (CI exercises them explicitly;
+        # a cached .so would otherwise mask a missing compiler)
+        return None
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]

@@ -64,7 +64,7 @@ def _compress_regs(jnp, h, m, t, final_mask):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_hash_fn(padded: int, rows: int):
+def _make_hash_fn(padded: int, rows: int, skip_empty_tiles: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -78,12 +78,7 @@ def _make_hash_fn(padded: int, rows: int):
     def kernel(wt_ref, len_ref, out_ref):
         length = len_ref[0, :].astype(jnp.int32)       # (TC,)
 
-        # pipeline padding rows are packed last; skip all-padding tiles
-        # (their output is garbage the caller never reads — real empty
-        # inputs still hash when any tile lane is non-empty, and the
-        # longtail data plane never hashes zero-size chunks)
-        @pl.when(jnp.max(length) > 0)
-        def _():
+        def tile_body():
             n_blocks = jnp.maximum(
                 (length + np.int32(BLOCK_BYTES - 1))
                 // np.int32(BLOCK_BYTES), np.int32(1))
@@ -106,6 +101,16 @@ def _make_hash_fn(padded: int, rows: int):
             out_ref[0, :] = h[0]
             out_ref[1, :] = h[1]
 
+        if skip_empty_tiles:
+            # data-plane pipeline mode: padding rows pack last, the plane
+            # never hashes zero-size chunks — an all-zero-length tile is
+            # pure padding whose output the caller never reads
+            pl.when(jnp.max(length) > 0)(tile_body)
+        else:
+            # default: empty inputs are real and must hash (the BLAKE2s
+            # empty-message digest comes from one all-zero final block)
+            tile_body()
+
     return pl.pallas_call(
         kernel,
         grid_spec=pl.GridSpec(
@@ -124,14 +129,19 @@ def _make_hash_fn(padded: int, rows: int):
     )
 
 
-def hash_chunks_words_device(words, lengths):
+def hash_chunks_words_device(words, lengths, skip_empty_tiles: bool = False):
     """Device BLAKE2s-64 over packed word rows: (rows, padded//4) u32 +
     (rows,) lengths -> (lo, hi) u32 pairs.  Trace under jit; rows must be
-    a multiple of 256, padded a multiple of 64, zero past each length."""
+    a multiple of 256, padded a multiple of 64, zero past each length.
+
+    skip_empty_tiles=True (the pipeline's mode) requires zero-length
+    padding rows to be packed LAST: a 256-lane tile that is entirely
+    zero-length is skipped and returns garbage for those lanes.  Leave
+    False when genuinely empty inputs may appear anywhere."""
     import jax.numpy as jnp
 
     rows, p4 = words.shape
     wt = words.T                                      # (p4, rows)
     lens = jnp.asarray(lengths, dtype=jnp.uint32).reshape(1, rows)
-    out2 = _make_hash_fn(p4 * 4, rows)(wt, lens)
+    out2 = _make_hash_fn(p4 * 4, rows, skip_empty_tiles)(wt, lens)
     return out2[0], out2[1]

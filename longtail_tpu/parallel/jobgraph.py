@@ -68,6 +68,8 @@ class JobGraph:
         self._ready: dict[int, deque] = {c: deque() for c in workers}
         self._cv = threading.Condition(self._lock)
         self._pending = 0
+        self._active = 0      # jobs currently executing on a worker
+        self._nsusp = 0       # jobs parked awaiting an async resume
         self._error: BaseException | None = None
 
     def add(self, fn: Callable, deps: list[int] | None = None,
@@ -97,6 +99,8 @@ class JobGraph:
             j = self._jobs[jid]
             j.done = True
             j.result = result
+            if j.suspended:
+                self._nsusp -= 1
             j.suspended = False
             self._pending -= 1
             for d in j.dependents:
@@ -124,7 +128,9 @@ class JobGraph:
             return
         if isinstance(out, Suspend):
             with self._cv:
-                j.suspended = True
+                if not j.suspended:   # a re-suspend keeps its one count
+                    self._nsusp += 1
+                    j.suspended = True
 
             def resume(payload=None, _jid=jid):
                 # re-run on the completion thread: the continuation is
@@ -142,6 +148,19 @@ class JobGraph:
             with self._cv:
                 while (not self._ready[channel] and self._pending > 0
                        and self._error is None):
+                    # deadlock detection: pending jobs but nothing is
+                    # running, nothing is parked awaiting a resume, and
+                    # no channel has ready work -> the remaining jobs can
+                    # never become ready.  Fail the group loudly instead
+                    # of spinning forever.
+                    if (self._active == 0 and self._nsusp == 0
+                            and not any(self._ready.values())):
+                        self._error = RuntimeError(
+                            f"{self._pending} jobs can never become "
+                            "ready (dependency cycle or orphaned "
+                            "dependency)")
+                        self._cv.notify_all()
+                        break
                     self._cv.wait(0.05)
                 if self._error is not None or (
                         self._pending == 0 and not self._ready[channel]):
@@ -149,7 +168,13 @@ class JobGraph:
                 if not self._ready[channel]:
                     continue
                 jid = self._ready[channel].popleft()
-            self._execute(jid)
+                self._active += 1
+            try:
+                self._execute(jid)
+            finally:
+                with self._cv:
+                    self._active -= 1
+                    self._cv.notify_all()
 
     def run(self) -> None:
         """Run to completion; re-raises the first job error after

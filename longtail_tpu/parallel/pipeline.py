@@ -108,7 +108,8 @@ def _words_hasher(kind: str, device: bool):
     if kind == "blake2":
         if device:
             from longtail_tpu.ops import blake2_kernel as _b2k
-            return _b2k.hash_chunks_words_device
+            return functools.partial(_b2k.hash_chunks_words_device,
+                                     skip_empty_tiles=True)
         from longtail_tpu.ops import blake2 as _b2
         import jax.numpy as jnp
         return lambda w, s: _b2.hash_chunks_words(w, s, xp=jnp)
@@ -163,22 +164,22 @@ def make_gather_hash_xla(padded: int, rows: int, kind: str = "blake3"):
 
 
 @functools.lru_cache(maxsize=16)
-def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
-    """jit: (words2d (N2, 128) u32, starts (rows,) i32 byte offsets,
-    sizes (rows,) i32) -> (lo, hi) u32 hash words.
+def make_pack_fn(padded: int, rows: int):
+    """The Pallas pack kernel alone: (words2d (N2, 128) u32, starts
+    (rows,) i32 byte offsets, sizes (rows,) i32) -> (rows, padded//4) u32
+    packed chunk words (chunk bytes shifted to offset 0, zero past size).
 
-    Packs each chunk's bytes into a (rows, padded//4) u32 word batch with a
-    Pallas kernel, then BLAKE3-hashes the batch with the Pallas tree
-    kernel.  A flat ``jnp.take`` gather lowers to a dynamic gather (~750 ms
-    vs ~3 ms of BLAKE3 work on a 64 MiB batch); instead each row issues one
-    2-D DMA of the (n_rows, 1024)-word window holding its chunk — the word
-    stream is viewed as rows of 128 words (512 B) so both DMA sides carry
-    standard 2-D tiling — then shifts the extra 0..4095 window bytes off
-    in-register: a dynamic lane rotate + one-row sublane carry emulates
-    the flattened word rotate, and a sub-word byte funnel shift finishes.
+    Each row issues one 2-D DMA of the (n_rows, 1024)-word window holding
+    its chunk — the word stream is viewed as rows of 128 words (512 B) so
+    both DMA sides carry standard 2-D tiling — then shifts the extra
+    0..4095 window bytes off in-register: a dynamic lane rotate + one-row
+    sublane carry emulates the flattened word rotate, and a sub-word byte
+    funnel shift finishes.  (A flat ``jnp.take`` gather would lower to a
+    dynamic gather: ~750 ms vs ~3 ms of BLAKE3 work on a 64 MiB batch.)
     words2d must carry >= padded//4 + 2048 slack words past the last
     valid start and have a row count divisible by 8 (make_pad_words_fn).
-    Rows with size 0 are padding.
+    Rows with size 0 are padding and MUST be packed last (a grid step
+    whose first row is empty is skipped entirely).
     """
     import jax
     import jax.numpy as jnp
@@ -269,7 +270,7 @@ def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rows // R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (R, NOUT, L), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -277,8 +278,6 @@ def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
             pltpu.SemaphoreType.DMA((2, R)),
         ],
     )
-
-    hasher = _words_hasher(kind, device=True)
 
     @jax.jit
     def fn(words2d, starts, sizes):
@@ -288,8 +287,28 @@ def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
             out_shape=jax.ShapeDtypeStruct((rows, NOUT, L), jnp.uint32),
             interpret=jax.default_backend() != "tpu",
         )(starts, sizes, words2d)
-        packed = packed.reshape(rows, NOUT * L)
-        lo, hi = hasher(packed, sizes)
+        return packed.reshape(rows, NOUT * L)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def make_pack_hash_fn(padded: int, rows: int, kind: str = "blake3"):
+    """jit: (words2d (N2, 128) u32, starts (rows,) i32 byte offsets,
+    sizes (rows,) i32) -> (lo, hi) u32 hash words.
+
+    Packs each chunk's bytes into a (rows, padded//4) u32 word batch with
+    the Pallas pack kernel (make_pack_fn), then hashes the batch with the
+    Pallas tree kernel.  Same input contract as make_pack_fn."""
+    import jax
+    import jax.numpy as jnp
+
+    pack = make_pack_fn(padded, rows)
+    hasher = _words_hasher(kind, device=True)
+
+    @jax.jit
+    def fn(words2d, starts, sizes):
+        lo, hi = hasher(pack(words2d, starts, sizes), sizes)
         return jnp.stack([lo, hi])          # (2, rows): one D2H fetch
 
     return fn
@@ -300,6 +319,20 @@ def _row_mult(cls: int) -> int:
     256 lanes, the blake3 kernel needs rows*leaves % 1024 == 0."""
     leaves = cls // _LEAF
     return max(256, 1024 // max(leaves, 1))
+
+
+def pow2_cap(padded_chunk: int) -> int:
+    """Largest size class: next power-of-two multiple of 1 KiB >=
+    padded_chunk.  Every class must be a power-of-two leaf count (the
+    BLAKE3 kernel requires it), so when max_size is not a power of two
+    (e.g. target 24576 -> max 49152) the cap class rounds UP — a clamp to
+    padded_chunk itself would produce a class class_plan never plans and
+    _dispatch_buckets_tpu would silently drop those chunks."""
+    leaves = -(-padded_chunk // _LEAF)
+    p = 1
+    while p < leaves:
+        p *= 2
+    return p * _LEAF
 
 
 def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
@@ -314,6 +347,7 @@ def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
     e_total = max(1, batch_bytes // cfg.avg_size)
     d = float(cfg.discriminator)
     mn = cfg.min_size
+    cap = pow2_cap(cfg.padded_chunk)
 
     def p_gt(s):  # P(chunk size > s)
         if s >= cfg.max_size:
@@ -322,9 +356,9 @@ def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
 
     plan = []
     c = _LEAF
-    while c <= cfg.padded_chunk:
+    while c <= cap:
         share = p_gt(c // 2) - p_gt(c)
-        if c == cfg.padded_chunk:
+        if c == cap:
             share += p_gt(c)  # cap mass
         m = _row_mult(c)
         rows = max(m, -(-int(1.4 * share * e_total) // m) * m)
@@ -415,7 +449,8 @@ class DevicePartIndexer:
         # in-flight batches per pipeline stage: deep enough that the one
         # synchronous fetch per batch overlaps other batches' dispatches
         self.queue_depth = 3
-        self._slack = self.cfg.padded_chunk // 4 + 2048
+        self._cap = pow2_cap(self.cfg.padded_chunk)
+        self._slack = self._cap // 4 + 2048
         self._class_plan = class_plan(self.cfg, self.lanes * self.part_bytes)
         if prewarm:
             self.prewarm()
@@ -532,7 +567,7 @@ class DevicePartIndexer:
         else:
             flat_starts = np.zeros(0, np.int64)
             flat_sizes = np.zeros(0, np.int64)
-        padded = _pow2_padded(flat_sizes, self.cfg.padded_chunk) \
+        padded = _pow2_padded(flat_sizes, self._cap) \
             if len(flat_sizes) else flat_sizes
         words2d = make_pad_words_fn(self._slack)(dev_rows)
         if self._on_tpu:

@@ -366,11 +366,20 @@ def make_stage1_fn(plan: Stage1Plan):
     cuts may be wrong (3+ candidates crowded a segment) and the host must
     re-chunk that lane exactly (see repair_lane)."""
     import jax
+
+    if jax.default_backend() != "tpu":
+        return _make_stage1_xla(plan)
+    return _make_stage1_pallas(plan)
+
+
+def _make_stage1_pallas(plan: Stage1Plan):
+    """The Pallas scan+walk stage-1 path.  Off-TPU the kernels run in
+    interpret mode — slow, but exact: tests use this to pin the kernels
+    against the XLA oracle without a chip."""
+    import jax
     import jax.numpy as jnp
 
     cfg, B, P = plan.cfg, plan.lanes, plan.part_bytes
-    if jax.default_backend() != "tpu":
-        return _make_stage1_xla(plan)
     z, tile = plan.z, plan.tile_bytes
     Sp = P // z
     scan_kernel = _make_scan_kernel(cfg, P, tile, z)(B * P)

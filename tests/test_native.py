@@ -5,10 +5,29 @@ prefer the native code when built); these tests pin the native/Python
 equivalence directly so a divergence is attributed, not just detected.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from longtail_tpu.ops import blake3, cdc
+
+
+def test_no_native_env_forces_fallback():
+    """LONGTAIL_TPU_NO_NATIVE must defeat the cached-.so fast path, and
+    when CI sets it the suite must actually be exercising pure Python."""
+    from longtail_tpu import native
+
+    if os.environ.get("LONGTAIL_TPU_NO_NATIVE"):
+        assert cdc._native() is None
+        assert blake3._native() is None
+        assert native.load("lz4_block", ["lz4_block.c"]) is None
+    else:
+        os.environ["LONGTAIL_TPU_NO_NATIVE"] = "1"
+        try:
+            assert native.load("lz4_block", ["lz4_block.c"]) is None
+        finally:
+            del os.environ["LONGTAIL_TPU_NO_NATIVE"]
 
 
 @pytest.mark.skipif(cdc._native() is None, reason="no C compiler")
