@@ -65,20 +65,51 @@ def parts_of(buf: np.ndarray, part_bytes: int):
         yield off, buf[off:off + part_bytes]
 
 
-def bench_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
-    """Device chunk+hash pipeline throughput over HBM-resident part batches.
+def structured_rows(base_rows, xp):
+    """Build a realistic 8-region corpus batch from random base rows:
+    2/8 short-period data (4.25 KiB tiles: text-analog), 1/8 zeros,
+    2/8 24 KiB tile repeats, 3/8 incompressible noise.  Works for both
+    numpy (host mirror) and jnp (device), so the device corpus and the
+    host mirror are byte-identical (threefry is bit-deterministic
+    across backends).  base_rows carries the 3/8 of unique randomness;
+    the output has 8/3 x base rows."""
+    r8 = base_rows.shape[0] // 3
+    text = xp.tile(base_rows[:34], (2 * r8 // 34 + 1, 1))[: 2 * r8]
+    zeros = xp.zeros((r8, 128), dtype=base_rows.dtype)
+    tiled = xp.tile(base_rows[34:226], (2 * r8 // 192 + 1, 1))[: 2 * r8]
+    noise = base_rows
+    return xp.concatenate([text, zeros, tiled, noise], axis=0)
+
+
+def bench_data_plane(total_bytes: int, target_chunk_size: int,
+                     with_compress: bool, verify: bool = True) -> dict:
+    """Device data-plane throughput over HBM-resident part batches:
+    chunk (CDC scan + walk) + BLAKE3 hash, and optionally + the device
+    block-codec anchor scan with host LZ4 assembly (the full
+    chunk+hash+compress metric of BASELINE.md).
 
     The workload lives in HBM (generated on device): on this dev rig the
-    host<->device path is a network tunnel capped at ~40 MB/s, which is not
-    representative of production DMA and would mask all kernel work.  The
-    host planning step (stage-2 bucketing) and all result fetches are
-    included — this is the full pipeline minus input staging.
+    host<->device path is a network tunnel capped at ~40 MB/s, which is
+    not representative of production DMA and would mask all kernel work.
+    Host planning, all result fetches, and (with_compress) the host-side
+    LZ4 stream assembly against a byte-identical host mirror are
+    included.  Each iteration XOR-perturbs the resident batch (the rig's
+    runtime caches identical executions); the perturbation preserves
+    byte-equality structure, so anchors remain valid against the
+    unperturbed mirror and assembly output sizes are exact.
+
+    verify=True pins correctness on the record: one deterministic batch's
+    chunk sizes AND hashes are compared against the host oracle (native
+    CDC + BLAKE3), and assembled blocks are decompressed and compared to
+    the mirror bit-for-bit.  A wrong cut, hash, or match fails the bench.
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax
     import jax.numpy as jnp
 
+    from longtail_tpu.ops import lz4
     from longtail_tpu.parallel.pipeline import DevicePartIndexer
 
     dev = jax.devices()[0]
@@ -90,163 +121,269 @@ def bench_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
         f"{time.perf_counter() - t0:.1f}s")
     B, P = indexer.lanes, indexer.part_bytes
     batch_bytes = B * P
+    block_bytes = 8 << 20
+    blocks_per_batch = batch_bytes // block_bytes
     n_batches = max(1, -(-total_bytes // batch_bytes))
-    # every submission gets a DISTINCT input: this rig's remote runtime
-    # caches identical executions, so repeating a batch would fake the
-    # number.  A bounded pool of generated batches stays resident (>2 GiB
-    # resident pushes the chip into HBM pressure and tanks throughput) and
-    # each submission XORs in the iteration index — one cheap device pass
-    # that makes every execution's input unique.
-    k = min(8, n_batches)
     log(f"workload: {n_batches} batches x {batch_bytes >> 20} MiB "
-        f"({B} lanes x {P >> 20} MiB parts), {k} resident + xor-perturb")
+        f"({B} lanes x {P >> 20} MiB parts), structured corpus")
 
     R = B * P // 128
-    gen = jax.jit(lambda key: jax.random.randint(
-        key, (R, 128), 0, 256, jnp.int32).astype(jnp.uint8))
-    perturb = jax.jit(lambda b, s: b ^ s)
+    base_R = 3 * (R // 8)
+
+    def gen(xp_random_rows):
+        return structured_rows(xp_random_rows, jnp)
+
     t0 = time.perf_counter()
-    batches = [gen(jax.random.PRNGKey(i)) for i in range(k)]
-    jax.block_until_ready(batches)
-    jax.block_until_ready(perturb(batches[0], jnp.uint8(1)))
+    base_dev = jax.jit(lambda: jax.random.randint(
+        jax.random.PRNGKey(7), (base_R, 128), 0, 256,
+        jnp.int32).astype(jnp.uint8))()
+    batch_dev = jax.jit(gen)(base_dev)
+    half = R // 2
+
+    @jax.jit
+    def perturb(b, s1, s2):
+        # two independent u8 salts -> 65k distinct executions (the rig
+        # caches identical ones), equality structure preserved
+        return jnp.concatenate([b[:half] ^ s1, b[half:] ^ s2])
+
+    def perturbed(b, i):
+        return perturb(b, jnp.uint8(i % 255 + 1),
+                       jnp.uint8((i // 255) % 255 + 1))
+
+    jax.block_until_ready(perturbed(batch_dev, 0))
     log(f"on-device corpus gen: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        base_host = np.asarray(jax.jit(lambda: jax.random.randint(
+            jax.random.PRNGKey(7), (base_R, 128), 0, 256,
+            jnp.int32).astype(jnp.uint8))())
+    mirror = structured_rows(base_host, np)          # (R, 128) u8
+    mirror_flat = mirror.reshape(-1)
+    mirror_blocks = [
+        mirror_flat[b * block_bytes:(b + 1) * block_bytes].tobytes()
+        for b in range(blocks_per_batch)]
+    log(f"host mirror gen: {time.perf_counter() - t0:.1f}s")
     lengths = np.full((B,), P, dtype=np.int32)
 
-    # context: measure the (tunnel-capped) host->device staging rate on a
-    # small probe (excluded from the metric, see docstring)
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(np.zeros(1 << 20, np.uint8)))
-    dt = time.perf_counter() - t0
-    log(f"context: device_put 1 MiB took {dt:.2f}s "
-        f"(~{1 / max(dt, 1e-9):.1f} MB/s tunnel; excluded, see docstring)")
+    if with_compress:
+        # warm the anchor-fn compile before timing
+        e = indexer.plan_hash(indexer.submit(
+            [None] * B, batch_dev, lengths), keep_words=True)
+        jax.block_until_ready(indexer.submit_compress(e))
 
-    def run(n: int, verbose: bool = False):
+    asm_pool = ThreadPoolExecutor(max_workers=2)
+
+    def run(n: int, compress: bool):
         stage1: deque = deque()
         stage2: deque = deque()
+        asm_futures = []
         n_chunks = n_bytes = 0
 
-        def drain(entry):
+        def assemble(anchors):
+            total = 0
+            for b, (apos, aref) in enumerate(anchors[:blocks_per_batch]):
+                out = lz4.assemble_anchors(mirror_blocks[b], apos, aref)
+                # store-raw-when-bigger, as the reference's
+                # compressblockstore does (longtail_compressblockstore.c:86)
+                total += min(len(out), block_bytes)
+            return total
+
+        def drain(item):
             nonlocal n_chunks, n_bytes
+            entry, ch = item
             for _, sizes, hashes in indexer.retire(entry):
                 n_chunks += len(hashes)
                 n_bytes += int(np.asarray(sizes, dtype=np.int64).sum())
+            if ch is not None:
+                anchors = indexer.collect_compress(ch)
+                asm_futures.append(asm_pool.submit(assemble, anchors))
 
         d = indexer.queue_depth
         for i in range(n):
-            if verbose:
-                log(f"  submit {i} @ {time.perf_counter() - tv:.1f}s")
             stage1.append(indexer.submit(
-                [None] * B,
-                perturb(batches[i % k], jnp.uint8((i // k + 1) & 255)),
-                lengths))
+                [None] * B, perturbed(batch_dev, i), lengths))
             if len(stage1) >= d:
-                if verbose:
-                    log(f"  plan @ {time.perf_counter() - tv:.1f}s")
-                stage2.append(indexer.plan_hash(stage1.popleft()))
+                e = indexer.plan_hash(stage1.popleft(),
+                                      keep_words=compress)
+                ch = indexer.submit_compress(e) if compress else None
+                stage2.append((e, ch))
             if len(stage2) >= d:
-                if verbose:
-                    log(f"  drain @ {time.perf_counter() - tv:.1f}s")
                 drain(stage2.popleft())
         while stage1:
-            stage2.append(indexer.plan_hash(stage1.popleft()))
+            e = indexer.plan_hash(stage1.popleft(), keep_words=compress)
+            ch = indexer.submit_compress(e) if compress else None
+            stage2.append((e, ch))
         while stage2:
             drain(stage2.popleft())
-        return n_chunks, n_bytes
-
-    tv = time.perf_counter()
+        comp_bytes = sum(f.result() for f in asm_futures)
+        return n_chunks, n_bytes, comp_bytes
 
     t0 = time.perf_counter()
-    n_chunks, _ = run(min(4, k), verbose=True)  # warmup: steady-state shapes
+    n_chunks, _, _ = run(4, with_compress)   # warmup: steady-state shapes
     log(f"warmup: {time.perf_counter() - t0:.1f}s ({n_chunks} chunks)")
 
+    result = {}
+    if with_compress:
+        t0 = time.perf_counter()
+        n_chunks, n_bytes, comp = run(n_batches, True)
+        dt = time.perf_counter() - t0
+        assert n_bytes == n_batches * batch_bytes, (n_bytes, n_batches)
+        gbps = n_bytes / dt / 1e9
+        ratio = n_bytes / max(comp, 1)
+        log(f"chunk+hash+compress: {dt:.2f}s  {gbps:.3f} GB/s  "
+            f"{n_chunks} chunks  ratio {ratio:.2f}x")
+        result.update({
+            "metric": "chunk_hash_compress_throughput",
+            "value": round(gbps, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+            "compress_ratio": round(ratio, 2),
+        })
+        # context sub-metric: chunk+hash alone on a shorter run
+        sub = min(n_batches, 16)
+        t0 = time.perf_counter()
+        _, nb, _ = run(sub, False)
+        result["chunk_hash_gbps"] = round(nb / (time.perf_counter() - t0)
+                                          / 1e9, 3)
+        log(f"chunk+hash only (context): {result['chunk_hash_gbps']} GB/s")
+    else:
+        t0 = time.perf_counter()
+        n_chunks, n_bytes, _ = run(n_batches, False)
+        dt = time.perf_counter() - t0
+        assert n_bytes == n_batches * batch_bytes, (n_bytes, n_batches)
+        gbps = n_bytes / dt / 1e9
+        log(f"chunk+hash: {dt:.2f}s  {gbps:.3f} GB/s  {n_chunks} chunks")
+        result.update({
+            "metric": "chunk_hash_throughput",
+            "value": round(gbps, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        })
+
+    if verify:
+        result["verified"] = verify_data_plane(
+            indexer, batch_dev, lengths, mirror, mirror_blocks,
+            target_chunk_size, with_compress)
+    asm_pool.shutdown()
+    return result
+
+
+def verify_data_plane(indexer, batch_dev, lengths, mirror, mirror_blocks,
+                      target_chunk_size: int, with_compress: bool) -> bool:
+    """Bit-exactness on the record: device chunk sizes + hashes vs the
+    host oracle (native CDC + BLAKE3), and device-anchored LZ4 blocks
+    decode back to the mirror.  Raises on any mismatch."""
+    from longtail_tpu.formats.constants import chunker_params_from_target
+    from longtail_tpu.ops import blake3, cdc, lz4
+
+    mn, av, mx = chunker_params_from_target(target_chunk_size)
+    B, P = indexer.lanes, indexer.part_bytes
+    entry = indexer.plan_hash(
+        indexer.submit([None] * B, batch_dev, lengths),
+        keep_words=with_compress)
+    ch = indexer.submit_compress(entry) if with_compress else None
+    flat = mirror.reshape(-1)
     t0 = time.perf_counter()
-    n_chunks, n_bytes = run(n_batches)
-    dt = time.perf_counter() - t0
-    assert n_bytes == n_batches * batch_bytes, (n_bytes, n_batches)
-    gbps = n_bytes / dt / 1e9
-    log(f"chunk+hash: {dt:.2f}s  {gbps:.3f} GB/s  {n_chunks} chunks")
-    return {
-        "metric": "chunk_hash_throughput",
-        "value": round(gbps, 3),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
-    }
+    for lane, (_, sizes, hashes) in enumerate(indexer.retire(entry)):
+        data = flat[lane * P: lane * P + int(lengths[lane])]
+        ref_ends = cdc.chunk_part(data, mn, av, mx)
+        ref_sizes = np.diff(np.concatenate([[0], ref_ends]))
+        assert np.array_equal(sizes.astype(np.int64), ref_sizes), \
+            f"lane {lane}: chunk sizes diverge from host oracle"
+        starts = np.concatenate([[0], ref_ends[:-1]]).astype(np.int64)
+        ref_hashes = blake3.hash64_ranges(
+            data, starts, ref_sizes.astype(np.int64))
+        assert np.array_equal(hashes, ref_hashes), \
+            f"lane {lane}: chunk hashes diverge from host oracle"
+    log(f"verify: {B} lanes chunk+hash bit-exact vs host oracle "
+        f"({time.perf_counter() - t0:.1f}s)")
+    if ch is not None:
+        anchors = indexer.collect_compress(ch)
+        for b in range(min(len(mirror_blocks), len(anchors))):
+            apos, aref = anchors[b]
+            out = lz4.assemble_anchors(mirror_blocks[b], apos, aref)
+            assert lz4.decompress(out, len(mirror_blocks[b])) == \
+                mirror_blocks[b], f"block {b}: lz4 roundtrip mismatch"
+        log(f"verify: {len(anchors)} device-anchored LZ4 blocks decode "
+            "bit-exact")
+    return True
 
 
 def bench_device_compress(total_bytes: int) -> dict:
-    """Device LZ4 codec: TPU sort-based match scan + native host assembly
-    (parallel/device_lz4.py).  Input staging is excluded (device-resident
-    word stream, same convention as chunk_hash); the measured loop is
-    match scan + match-list fetch + host byte assembly + ratio check."""
+    """Device LZ4 codec alone: batched fast-tier anchor scan
+    (parallel/device_match.py) + native host assembly, over
+    device-resident 64 MiB word batches (input staging excluded, same
+    convention as the data-plane bench).  Reports device-scan GB/s,
+    host-assembly GB/s/core, ratio vs the host greedy encoder."""
     import jax
+    import jax.numpy as jnp
 
     from longtail_tpu.ops import lz4
-    from longtail_tpu.parallel.device_lz4 import find_matches
+    from longtail_tpu.parallel.device_match import (
+        fast_block_anchors,
+        make_fast_anchor_fn,
+    )
 
+    batch = 64 << 20
     block = 8 << 20
-    total_bytes = max(block, (total_bytes // block) * block)
-    # LZ4's window is 64 KiB: build a corpus with *in-window* structure
-    # (text, struct arrays, zero spans, 24 KiB tile repeats, noise) so
-    # the ratio is meaningful — make_corpus's MiB-scale duplicate spans
-    # are invisible to LZ4 (they are what the dedup layer catches)
+    total_bytes = max(batch, (total_bytes // batch) * batch)
+    n_batches = total_bytes // batch
     rng = np.random.default_rng(11)
     text = (b"the quick brown fox jumps over the lazy dog; "
             b"pack my box with five dozen liquor jugs. ") * 12000
-    struct = np.arange(0, 1 << 18, dtype="<u4").tobytes() * 2
     tile = rng.integers(0, 256, 24 << 10, np.uint8).tobytes() * 40
     noise = rng.integers(0, 256, 1 << 20, np.uint8).tobytes()
-    unit = text + struct + bytes(1 << 19) + tile + noise
-    reps = -(-total_bytes // len(unit))
-    corpus = np.frombuffer((unit * reps)[:total_bytes], np.uint8)
-    n_blocks = total_bytes // block
-    log(f"device-lz4 workload: {n_blocks} x {block >> 20} MiB blocks")
-    dev_blocks = []
-    for off in range(0, total_bytes, block):
-        w = np.frombuffer(corpus[off:off + block].tobytes(), "<u4")
-        dev_blocks.append(jax.device_put(w))
-    jax.block_until_ready(dev_blocks)
+    unit = text + bytes(1 << 19) + tile + noise
+    corpus = (unit * (batch // len(unit) + 1))[:batch]
+    w = jax.device_put(np.frombuffer(corpus, "<u4").copy())
+    fn = make_fast_anchor_fn(batch // 4, block // 4)
+    jax.block_until_ready(fn(w))
+    log(f"device-lz4 workload: {n_batches} x 64 MiB batches")
 
-    # warmup / compile
-    find_matches(dev_blocks[0])
+    # device scan alone (perturbed per iteration; one dependent fetch)
+    @jax.jit
+    def loop(x, n):
+        acc = jnp.int32(0)
+        for i in range(int(n)):
+            _, _, c = fn(x ^ (acc.astype(jnp.uint32) + jnp.uint32(i + 1)))
+            acc = acc + jnp.sum(c)
+        return acc
 
-    from longtail_tpu.parallel.device_lz4 import (
-        collect_matches,
-        submit_matches,
-    )
-
+    k = min(n_batches, 8)
+    _ = np.asarray(loop(w, k))
     t0 = time.perf_counter()
-    comp_total = 0
-    handles = [submit_matches(w) for w in dev_blocks]  # async pipeline
-    for i, h in enumerate(handles):
-        starts, refs, lens, _ = collect_matches(h)
-        src = corpus[i * block:(i + 1) * block].tobytes()
-        keep = starts < block
-        out = lz4.assemble_matches(src, starts[keep], refs[keep],
-                                   lens[keep])
-        comp_total += len(out)
-    dt = time.perf_counter() - t0
-    gbps = total_bytes / dt / 1e9
-    # verify one block decodes bit-exactly
-    back = lz4.decompress(out, block)
-    assert back == src, "device lz4 roundtrip mismatch"
-    log(f"device lz4: {dt:.2f}s {gbps:.3f} GB/s ratio "
-        f"{total_bytes / comp_total:.2f}x (decode verified)")
-    # context: the host native-C path on the same corpus
+    reps = -(-n_batches // k)
+    for r in range(reps):
+        _ = np.asarray(loop(w ^ jnp.uint32(r + 17), k))
+    scan_dt = time.perf_counter() - t0
+    scan_gbps = reps * k * batch / scan_dt / 1e9
+
+    # assembly + ratio on one batch
+    anchors = fast_block_anchors(w, block // 4)
+    srcs = [corpus[b * block:(b + 1) * block]
+            for b in range(batch // block)]
+    _ = lz4.assemble_anchors(srcs[0], *anchors[0])
     t0 = time.perf_counter()
-    host_total = sum(
-        len(lz4.compress(corpus[o:o + block].tobytes()))
-        for o in range(0, min(total_bytes, 16 * block), block))
-    host_dt = time.perf_counter() - t0
-    host_gbps = min(total_bytes, 16 * block) / host_dt / 1e9
-    log(f"host lz4 (context): {host_gbps:.3f} GB/s ratio "
-        f"{min(total_bytes, 16 * block) / host_total:.2f}x")
+    comp = 0
+    for src, (apos, aref) in zip(srcs, anchors):
+        comp += len(lz4.assemble_anchors(src, apos, aref))
+    asm_gbps = batch / (time.perf_counter() - t0) / 1e9
+    for src, (apos, aref) in zip(srcs, anchors):
+        out = lz4.assemble_anchors(src, apos, aref)
+        assert lz4.decompress(out, len(src)) == src
+    host_comp = sum(len(lz4.compress(s)) for s in srcs[:4])
+    log(f"device lz4 scan: {scan_gbps:.2f} GB/s; assembly "
+        f"{asm_gbps:.2f} GB/s/core; ratio {batch / comp:.2f}x "
+        f"(host greedy {4 * block / host_comp:.2f}x); decode verified")
     return {
-        "metric": "device_lz4_compress_throughput",
-        "value": round(gbps, 3),
+        "metric": "device_lz4_scan_throughput",
+        "value": round(scan_gbps, 3),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
-        "compress_ratio": round(total_bytes / comp_total, 2),
-        "host_lz4_gbps": round(host_gbps, 3),
+        "vs_baseline": round(scan_gbps / BASELINE_GBPS, 3),
+        "compress_ratio": round(batch / comp, 2),
+        "host_greedy_ratio": round(4 * block / host_comp, 2),
+        "assembly_gbps_per_core": round(asm_gbps, 3),
     }
 
 
@@ -352,15 +489,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gib", type=float, default=4.0,
                     help="workload size in GiB")
-    ap.add_argument("--mode", default="chunk_hash",
-                    choices=["chunk_hash", "compress", "device_compress",
-                             "downsync"])
+    ap.add_argument("--mode", default="chunk_hash_compress",
+                    choices=["chunk_hash_compress", "chunk_hash",
+                             "compress", "device_compress", "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the bit-exactness verification phase")
     args = ap.parse_args()
 
     total = int(args.gib * 2**30)
-    if args.mode == "chunk_hash":
-        result = bench_chunk_hash(total, args.target_chunk_size)
+    if args.mode == "chunk_hash_compress":
+        result = bench_data_plane(total, args.target_chunk_size,
+                                  with_compress=True,
+                                  verify=not args.no_verify)
+    elif args.mode == "chunk_hash":
+        result = bench_data_plane(total, args.target_chunk_size,
+                                  with_compress=False,
+                                  verify=not args.no_verify)
     elif args.mode == "downsync":
         result = bench_downsync(total)
     elif args.mode == "device_compress":

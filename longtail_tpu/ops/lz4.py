@@ -267,3 +267,100 @@ def assemble_matches(src: bytes, starts, refs, lens) -> bytes:
     if r < 0:
         raise ValueError("lz4 assemble: overflow")
     return dst.raw[:r]
+
+
+# ---------------------------------------------------------------------------
+# anchor assembler (the host half of the batched device codec,
+# parallel/device_match.py; native/lz4_anchors.c is the fast path)
+# ---------------------------------------------------------------------------
+
+_anch_lib = None
+_anch_checked = False
+
+
+def _native_anchors():
+    global _anch_lib, _anch_checked
+    if not _anch_checked:
+        _anch_checked = True
+        lib = native.load("lz4_anchors", ["lz4_anchors.c"])
+        if lib is not None:
+            lib.lt_lz4_assemble_anchors.restype = ctypes.c_long
+            lib.lt_lz4_assemble_anchors.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_char_p, ctypes.c_long]
+        _anch_lib = lib
+    return _anch_lib
+
+
+def _py_assemble_anchors(src: bytes, apos, aref) -> bytes:
+    """Pure-Python mirror of native/lz4_anchors.c: memcmp-validate and
+    byte-extend each (pos, ref) hint, emit the LZ4 stream."""
+    n = len(src)
+    out = bytearray()
+    anchor = 0
+    mflimit = n - _MFLIMIT
+    mlimit = n - _LASTLITERALS
+
+    def emit_len(rest: int) -> None:
+        rest -= 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+
+    for p, r in zip(apos, aref):
+        p, r = int(p), int(r)
+        if r < 0 or r >= p or p - r > _MAX_DISTANCE:
+            continue
+        off = p - r
+        # anchors inside the previous match are covered by it (snapping
+        # + re-scanning would be quadratic on dense runs)
+        if p < anchor or p >= mflimit:
+            continue
+        while p > anchor and r > 0 and src[p - 1] == src[r - 1]:
+            p -= 1
+            r -= 1
+        lim = mlimit - p
+        ln = 0
+        while ln < lim and src[p + ln] == src[r + ln]:
+            ln += 1
+        if ln < _MINMATCH:
+            continue
+        lit = p - anchor
+        mcode = ln - _MINMATCH
+        out.append((min(lit, 15) << 4) | min(mcode, 15))
+        if lit >= 15:
+            emit_len(lit)
+        out += src[anchor:p]
+        out.append(off & 0xFF)
+        out.append(off >> 8)
+        if mcode >= 15:
+            emit_len(mcode)
+        anchor = p + ln
+    lit = n - anchor
+    out.append(min(lit, 15) << 4)
+    if lit >= 15:
+        emit_len(lit)
+    out += src[anchor:]
+    return bytes(out)
+
+
+def assemble_anchors(src: bytes, apos, aref) -> bytes:
+    """Serialize position-sorted device (pos, ref) anchor hints into the
+    LZ4 block format.  Anchors are validated by memcmp and byte-extended
+    in both directions, so any hint list yields a correct stream."""
+    import numpy as np
+
+    lib = _native_anchors()
+    if lib is None:
+        return _py_assemble_anchors(src, apos, aref)
+    ap = np.ascontiguousarray(apos, dtype=np.int64)
+    ar = np.ascontiguousarray(aref, dtype=np.int64)
+    cap = compress_bound(len(src))
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.lt_lz4_assemble_anchors(
+        src, len(src), ap.ctypes.data, ar.ctypes.data, len(ap), dst, cap)
+    if r < 0:
+        raise ValueError("lz4 anchors: overflow")
+    return dst.raw[:r]

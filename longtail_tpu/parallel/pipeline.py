@@ -387,6 +387,17 @@ def make_split_fn(layout: tuple):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def make_concat_fn(n: int):
+    """jit: n (2, r_i) hash results -> one (2, sum r_i) array, so the
+    whole batch's hashes ride ONE device->host fetch (each fetch costs
+    an RTT on this rig; a structured batch can have 9+ buckets)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *rs: jnp.concatenate(rs, axis=1))
+
+
 def _pow2_padded(sizes: np.ndarray, cap: int) -> np.ndarray:
     """Next power-of-two multiple of 1 KiB >= size, capped at cap."""
     leaves = np.maximum(-(-sizes // _LEAF), 1)
@@ -491,6 +502,9 @@ class DevicePartIndexer:
             jax.block_until_ready(
                 make_split_fn(self._class_plan)(
                     jnp.zeros((n,), jnp.int32))[0][0])
+            jax.block_until_ready(make_concat_fn(len(self._class_plan))(
+                *[jnp.zeros((2, r), jnp.uint32)
+                  for _, r in self._class_plan]))
 
         jobs = [warm_stage1, warm_pad, warm_split] + [
             functools.partial(warm_class, c, r) for c, r in self._class_plan]
@@ -529,10 +543,15 @@ class DevicePartIndexer:
 
     # -- stage 2 + 3 ------------------------------------------------------
 
-    def plan_hash(self, entry):
+    def plan_hash(self, entry, keep_words: bool = False):
         """Stage 2: sync stage-1 sizes, repair any ambiguity-flagged lane,
         group chunks into power-of-two size buckets, dispatch one
-        pack+BLAKE3 call per bucket group (async)."""
+        pack+BLAKE3 call per bucket group (async).
+
+        keep_words=True appends the device-resident word-row batch to
+        the returned entry (entry[4]) so a stage-4 consumer (the device
+        block codec, parallel/device_match.py) can scan the SAME
+        HBM-resident bytes without a re-upload."""
         tags, dev_rows, lengths, packed_dev, host_rows = entry
         P = self.part_bytes
         n_lanes = len(tags)
@@ -576,20 +595,23 @@ class DevicePartIndexer:
         else:
             buckets = self._dispatch_buckets_xla(
                 words2d, flat_starts, flat_sizes, padded)
+        if keep_words:
+            return (tags, lane_sizes, counts[:n_lanes], buckets, words2d)
         return (tags, lane_sizes, counts[:n_lanes], buckets)
 
     def _dispatch_buckets_tpu(self, words2d, flat_starts, flat_sizes,
                               padded):
-        """Fixed class plan, one H2D blob upload, device-sliced args: the
-        per-dispatch cost on the dev rig is the synchronous numpy-arg
-        upload (~1 ms RTT each), so the whole batch's starts/sizes travel
-        in one async upload and every pack dispatch takes device slices."""
+        """Fixed class plan + same-shape spill slots, one H2D blob
+        upload, device-sliced args, ONE concatenated D2H hash fetch: on
+        the dev rig every numpy-arg upload and every result fetch costs
+        an RTT, so the whole batch's starts/sizes travel in one upload
+        and all bucket hashes come back in one array."""
         import jax
 
         plan = self._class_plan
-        spills = []  # (cls, rows_idx) overflow groups, same shapes
+        layout = []    # (cls, r) per dispatch slot, planned then spills
         blob_parts = []
-        mapping = []  # rows_idx per planned slot, aligned with splits
+        mapping = []   # chunk-row indices per slot
         for cls, r in plan:
             rows_all = np.flatnonzero(padded == cls)
             head, rest = rows_all[:r], rows_all[r:]
@@ -597,29 +619,36 @@ class DevicePartIndexer:
             bz = np.zeros(r, dtype=np.int32)
             bs[: len(head)] = flat_starts[head]
             bz[: len(head)] = flat_sizes[head]
+            layout.append((cls, r))
             blob_parts += [bs, bz]
             mapping.append(head)
             for off in range(0, len(rest), r):
-                spills.append((cls, r, rest[off: off + r]))
+                rows = rest[off: off + r]
+                sb = np.zeros(r, dtype=np.int32)
+                sz = np.zeros(r, dtype=np.int32)
+                sb[: len(rows)] = flat_starts[rows]
+                sz[: len(rows)] = flat_sizes[rows]
+                layout.append((cls, r))
+                blob_parts += [sb, sz]
+                mapping.append(rows)
         blob = jax.device_put(np.concatenate(blob_parts))
-        splits = make_split_fn(plan)(blob)
-        buckets = []
-        for (cls, r), (bs_d, bz_d), head in zip(plan, splits, mapping):
-            if len(head) == 0:
+        splits = make_split_fn(tuple(layout))(blob)
+        results = []
+        slots = []     # (rows_idx, offset into the concat) per live slot
+        off = 0
+        for (cls, r), (bs_d, bz_d), rows in zip(layout, splits, mapping):
+            if len(rows) == 0:
                 continue
             res = make_pack_hash_fn(cls, r, self.hash_kind)(
                 words2d, bs_d, bz_d)  # async, (2, r)
-            res.copy_to_host_async()
-            buckets.append((res, head))
-        for cls, r, rows in spills:
-            bs = np.zeros(r, dtype=np.int32)
-            bz = np.zeros(r, dtype=np.int32)
-            bs[: len(rows)] = flat_starts[rows]
-            bz[: len(rows)] = flat_sizes[rows]
-            res = make_pack_hash_fn(cls, r, self.hash_kind)(words2d, bs, bz)
-            res.copy_to_host_async()
-            buckets.append((res, rows))
-        return buckets
+            results.append(res)
+            slots.append((rows, off, r))
+            off += r
+        if not results:
+            return []
+        allres = make_concat_fn(len(results))(*results)  # (2, off)
+        allres.copy_to_host_async()
+        return [(allres, slots)]
 
     def _dispatch_buckets_xla(self, words2d, flat_starts, flat_sizes,
                               padded):
@@ -644,17 +673,57 @@ class DevicePartIndexer:
                 buckets.append((res, rows))
         return buckets
 
+    def submit_compress(self, entry, block_bytes: int = 8 << 20,
+                        max_offset_words: int = 16383):
+        """Stage 4: dispatch the fast-tier anchor scan over the batch's
+        resident word rows (requires plan_hash(keep_words=True)).
+        Returns (packed_pos, packed_ref, counts) device arrays — collect
+        with numpy + device_match.decode semantics via
+        collect_compress()."""
+        from longtail_tpu.parallel.device_match import (
+            make_fast_anchor_packed_fn,
+        )
+
+        words2d = entry[4]
+        n_words = int(np.prod(words2d.shape))
+        fn = make_fast_anchor_packed_fn(n_words, block_bytes // 4,
+                                        max_offset_words=max_offset_words)
+        packed = fn(words2d)       # (B, 2*cap + 1): pos | ref | count
+        packed.copy_to_host_async()
+        return packed
+
+    @staticmethod
+    def collect_compress(handle):
+        """Sync stage-4 results (ONE device fetch): per-block
+        position-sorted byte-offset (pos, ref) anchor lists, ready for
+        ops/lz4.assemble_anchors (or the zstd sequence encoder)."""
+        arr = np.asarray(handle)
+        cap = (arr.shape[1] - 1) // 2
+        out = []
+        for b in range(arr.shape[0]):
+            c = int(arr[b, -1])
+            out.append((arr[b, :c].astype(np.int64) * 4,
+                        arr[b, cap:cap + c].astype(np.int64) * 4))
+        return out
+
     def retire(self, entry):
         """Stage 3 drain: sync the bucket hash results and yield
         (tag, sizes u32, hashes u64) per part in submission order."""
-        tags, lane_sizes, counts, buckets = entry
+        tags, lane_sizes, counts, buckets = entry[:4]
         total = int(counts.sum())
         hashes = np.empty(total, dtype=np.uint64)
-        for res, rows in buckets:
+        for res, meta in buckets:
             res = np.asarray(res)
-            lo = res[0].astype(np.uint64)
-            hi = res[1].astype(np.uint64)
-            hashes[rows] = (lo | (hi << np.uint64(32)))[: len(rows)]
+            if isinstance(meta, list):
+                # TPU path: one concatenated (2, sum_r) fetch + slot map
+                for rows, off, r in meta:
+                    lo = res[0, off:off + r].astype(np.uint64)
+                    hi = res[1, off:off + r].astype(np.uint64)
+                    hashes[rows] = (lo | (hi << np.uint64(32)))[: len(rows)]
+            else:
+                lo = res[0].astype(np.uint64)
+                hi = res[1].astype(np.uint64)
+                hashes[meta] = (lo | (hi << np.uint64(32)))[: len(meta)]
         off = 0
         for tag, sz, cnt in zip(tags, lane_sizes, counts):
             yield tag, sz, hashes[off: off + int(cnt)]

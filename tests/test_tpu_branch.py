@@ -78,6 +78,26 @@ def _fake_split(layout):
     return f
 
 
+def _fake_concat(n):
+    def f(*rs):
+        return _FakeRes(np.concatenate([np.asarray(r) for r in rs],
+                                       axis=1))
+    return f
+
+
+def _bucket_rows(buckets):
+    """Flatten either bucket format to (hash_arr_2xr, rows) pairs."""
+    out = []
+    for res, meta in buckets:
+        arr = np.asarray(res)
+        if isinstance(meta, list):
+            for rows, off, r in meta:
+                out.append((arr[:, off:off + r], rows))
+        else:
+            out.append((arr, meta))
+    return out
+
+
 @pytest.mark.parametrize("target", [1024, 24576])
 def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
     """Host dispatch logic: every chunk row lands in exactly one bucket
@@ -85,6 +105,7 @@ def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
     fakes replacing the device calls."""
     monkeypatch.setattr(pl_mod, "make_pack_hash_fn", _fake_pack_hash)
     monkeypatch.setattr(pl_mod, "make_split_fn", _fake_split)
+    monkeypatch.setattr(pl_mod, "make_concat_fn", _fake_concat)
     indexer = DevicePartIndexer(target, lanes=1)
     cfg = indexer.cfg
     rng = np.random.default_rng(5)
@@ -109,8 +130,7 @@ def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
         None, flat_starts, flat_sizes, padded)
 
     seen = np.zeros(n, dtype=np.int32)
-    for res, rows in buckets:
-        arr = np.asarray(res)
+    for arr, rows in _bucket_rows(buckets):
         k = len(rows)
         np.testing.assert_array_equal(arr[0][:k], flat_starts[rows])
         np.testing.assert_array_equal(arr[1][:k], flat_sizes[rows])
@@ -123,6 +143,7 @@ def test_retire_assembles_bucket_hashes(monkeypatch):
     and yield per-part slices in submission order."""
     monkeypatch.setattr(pl_mod, "make_pack_hash_fn", _fake_pack_hash)
     monkeypatch.setattr(pl_mod, "make_split_fn", _fake_split)
+    monkeypatch.setattr(pl_mod, "make_concat_fn", _fake_concat)
     indexer = DevicePartIndexer(1024, lanes=1)
 
     counts = np.array([3, 2], dtype=np.int64)
