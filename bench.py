@@ -220,7 +220,8 @@ def bench_data_plane(total_bytes: int, target_chunk_size: int,
         return n_chunks, n_bytes, comp_bytes
 
     t0 = time.perf_counter()
-    n_chunks, _, _ = run(4, with_compress)   # warmup: steady-state shapes
+    # steady-state shapes + the rig tunnel's traffic ramp
+    n_chunks, _, _ = run(max(8, n_batches // 3), with_compress)
     log(f"warmup: {time.perf_counter() - t0:.1f}s ({n_chunks} chunks)")
 
     result = {}
@@ -308,6 +309,79 @@ def verify_data_plane(indexer, batch_dev, lengths, mirror, mirror_blocks,
         log(f"verify: {len(anchors)} device-anchored LZ4 blocks decode "
             "bit-exact")
     return True
+
+
+def bench_mesh_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
+    """The mesh data plane on the available devices: the same resident
+    batch loop as the main bench, but dealt round-robin over
+    MeshPartIndexer's device-pinned pipelines.  On the 1-chip rig this
+    pins the VERDICT 'single-device mesh within ~10% of non-mesh'
+    criterion; on a pod slice it scales per device."""
+    from collections import deque
+
+    import jax
+    import jax.numpy as jnp
+
+    from longtail_tpu.parallel.pipeline import MeshPartIndexer
+
+    devices = jax.devices()
+    mesh_ix = MeshPartIndexer(target_chunk_size, devices, prewarm=True)
+    n = len(devices)
+    B, P = mesh_ix.indexers[0].lanes, mesh_ix.part_bytes
+    batch_bytes = B * P
+    n_batches = max(2 * n, -(-total_bytes // batch_bytes))
+    R = batch_bytes // 128
+    base_R = 3 * (R // 8)
+    base_dev = jax.jit(lambda: jax.random.randint(
+        jax.random.PRNGKey(7), (base_R, 128), 0, 256,
+        jnp.int32).astype(jnp.uint8))()
+    batch0 = jax.jit(lambda b: structured_rows(b, jnp))(base_dev)
+    per_dev = [jax.device_put(batch0, d) for d in devices]
+    perturb = jax.jit(lambda b, s: b ^ s)
+    jax.block_until_ready([perturb(b, jnp.uint8(1)) for b in per_dev])
+    lengths = np.full((B,), P, dtype=np.int32)
+
+    def run(nb):
+        stage1: deque = deque()
+        stage2: deque = deque()
+        n_bytes = 0
+        d = mesh_ix.indexers[0].queue_depth * n
+        for i in range(nb):
+            k = i % n
+            stage1.append((k, mesh_ix.indexers[k].submit(
+                [None] * B, perturb(per_dev[k], jnp.uint8(i % 255 + 1)),
+                lengths)))
+            if len(stage1) >= d:
+                k, e = stage1.popleft()
+                stage2.append((k, mesh_ix.indexers[k].plan_hash(e)))
+            if len(stage2) >= d:
+                k, e = stage2.popleft()
+                for _, sizes, _ in mesh_ix.indexers[k].retire(e):
+                    n_bytes += int(np.asarray(sizes, np.int64).sum())
+        while stage1:
+            k, e = stage1.popleft()
+            stage2.append((k, mesh_ix.indexers[k].plan_hash(e)))
+        while stage2:
+            k, e = stage2.popleft()
+            for _, sizes, _ in mesh_ix.indexers[k].retire(e):
+                n_bytes += int(np.asarray(sizes, np.int64).sum())
+        return n_bytes
+
+    # warm steady shapes on every device; the rig's tunnel runtime also
+    # ramps up with traffic, so a short warmup understates throughput
+    run(max(8, 2 * n, n_batches // 3))
+    t0 = time.perf_counter()
+    n_bytes = run(n_batches)
+    dt = time.perf_counter() - t0
+    gbps = n_bytes / dt / 1e9
+    log(f"mesh[{n} dev] chunk+hash: {dt:.2f}s {gbps:.3f} GB/s")
+    return {
+        "metric": "mesh_chunk_hash_throughput",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        "n_devices": n,
+    }
 
 
 def bench_device_compress(total_bytes: int) -> dict:
@@ -491,7 +565,8 @@ def main() -> None:
                     help="workload size in GiB")
     ap.add_argument("--mode", default="chunk_hash_compress",
                     choices=["chunk_hash_compress", "chunk_hash",
-                             "compress", "device_compress", "downsync"])
+                             "mesh_chunk_hash", "compress",
+                             "device_compress", "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the bit-exactness verification phase")
@@ -506,6 +581,8 @@ def main() -> None:
         result = bench_data_plane(total, args.target_chunk_size,
                                   with_compress=False,
                                   verify=not args.no_verify)
+    elif args.mode == "mesh_chunk_hash":
+        result = bench_mesh_chunk_hash(total, args.target_chunk_size)
     elif args.mode == "downsync":
         result = bench_downsync(total)
     elif args.mode == "device_compress":

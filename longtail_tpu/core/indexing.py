@@ -253,28 +253,23 @@ def _chunk_assets_device(storage, root: str, file_infos: FileInfos,
 def _chunk_assets_mesh(storage, root: str, file_infos: FileInfos,
                        target_chunk_size: int, mesh,
                        progress=null_progress) -> list:
-    """Mesh data plane: shard part lanes over the device mesh
-    (shard_map), chunk+hash per device, and run the compacted global-dedup
-    all-gather collective per batch (SURVEY §2.5; the role the reference's
-    thread pool + nothing plays — there is no multi-node reference).
+    """Mesh data plane: one device-pinned instance of the production
+    chunk+hash pipeline per mesh device (parallel/pipeline.py
+    MeshPartIndexer), batches dealt round-robin — the same Pallas
+    scan/walk/pack/hash kernels as the single-chip path, per device,
+    with each device's async pipeline overlapping independently
+    (SURVEY §2.5: one hot loop for every configuration).
 
-    Single-controller assembly: the sharded (sizes, hashes) outputs are
-    fetched as global arrays (XLA gathers shards transparently); on a
-    real multi-host deployment the same step runs unchanged and hosts
-    would consume the *replicated* dedup output instead of the shards.
-    """
-    import jax
+    Single-controller assembly: per-part results return to the host in
+    submission order and global dedup is the host-side unique in
+    create_version_index; the all-gather dedup collective
+    (parallel/distributed.py) covers multi-process deployments, where
+    each process runs this driver over its own file shard."""
+    from longtail_tpu.parallel.pipeline import MeshPartIndexer
 
-    from longtail_tpu.parallel.device_chunker import ChunkerConfig
-    from longtail_tpu.parallel.distributed import make_sharded_chunk_fn
-
-    cfg = ChunkerConfig.from_target(target_chunk_size)
-    n_dev = mesh.devices.size
-    lanes_per_dev = 1
-    B = n_dev * lanes_per_dev
-    P = target_chunk_size * 1024
-    fn = make_sharded_chunk_fn(cfg, mesh, lanes_per_dev, P)
-
+    devices = list(mesh.devices.flat)
+    indexer = MeshPartIndexer(target_chunk_size, devices)
+    P = indexer.part_bytes
     count = file_infos.count
     results = [
         (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32))
@@ -290,42 +285,19 @@ def _chunk_assets_mesh(storage, root: str, file_infos: FileInfos,
             pos = 0
             while pos < size:
                 n = min(P, size - pos)
-                yield i, read(pos, n)
+                yield (i, pos), read(pos, n)
                 pos += n
 
     acc: dict[int, list] = {}
     done = 0
-
-    def flush(batch):
-        nonlocal done
-        buf = np.zeros((B, P), dtype=np.uint8)
-        lengths = np.zeros((B,), dtype=np.int32)
-        for j, (_, part) in enumerate(batch):
-            buf[j, : len(part)] = part
-            lengths[j] = len(part)
-        sizes, lo, hi, _, _, _, _ = fn(buf, lengths)
-        sizes = np.asarray(sizes)
-        h = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
-            np.asarray(lo).astype(np.uint64)
-        for j, (tag, _) in enumerate(batch):
-            n_c = int((sizes[j] > 0).sum())
-            acc.setdefault(tag, []).append(
-                (h[j, :n_c], sizes[j, :n_c].astype(np.uint32)))
-            done += 1
-            progress(min(done, count), count)
-
-    batch: list = []
-    for item in parts():
-        batch.append(item)
-        if len(batch) == B:
-            flush(batch)
-            batch = []
-    if batch:
-        flush(batch)
-
+    for (i, pos), sizes, hashes in indexer.index_stream(parts()):
+        acc.setdefault(i, []).append((pos, hashes, sizes))
+        done += 1
+        progress(min(done, count), count)
     for i, pieces in acc.items():
-        results[i] = (np.concatenate([p[0] for p in pieces]),
-                      np.concatenate([p[1] for p in pieces]))
+        pieces.sort(key=lambda p: p[0])
+        results[i] = (np.concatenate([p[1] for p in pieces]),
+                      np.concatenate([p[2] for p in pieces]))
     return results
 
 

@@ -118,7 +118,9 @@ class VersionIndex:
         sizes = self.chunk_sizes[flat_ci].astype(np.int64)
         csum = np.cumsum(sizes)
         ex = csum - sizes                         # exclusive global prefix
-        offsets = ex - np.repeat(ex[first], counts)
+        # trailing zero-chunk assets have first == total; their repeat
+        # contributes nothing, but the index must stay in bounds
+        offsets = ex - np.repeat(ex[np.minimum(first, total - 1)], counts)
         return asset_of, flat_ci, offsets
 
     def is_dir(self, asset_index: int) -> bool:

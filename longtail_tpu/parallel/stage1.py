@@ -354,8 +354,8 @@ class Stage1Plan:
         return -(-c // 128) * 128
 
 
-@functools.lru_cache(maxsize=8)
-def make_stage1_fn(plan: Stage1Plan):
+@functools.lru_cache(maxsize=32)
+def make_stage1_fn(plan: Stage1Plan, device=None):
     """jit: (rows (B*P//128, 128) u8 — parts flattened part-major into
     128-byte rows, lengths (B,) i32) -> packed (B, c_pad + 2) i32:
     columns [0, c_pad) = chunk sizes, column c_pad = n_chunks, column
@@ -368,7 +368,8 @@ def make_stage1_fn(plan: Stage1Plan):
     import jax
 
     if jax.default_backend() != "tpu":
-        return _make_stage1_xla(plan)
+        return _make_stage1_xla(plan, device)
+    # the pallas path follows its committed inputs' placement
     return _make_stage1_pallas(plan)
 
 
@@ -446,12 +447,13 @@ def _make_stage1_pallas(plan: Stage1Plan):
     return fn
 
 
-def _make_stage1_xla(plan: Stage1Plan):
+def _make_stage1_xla(plan: Stage1Plan, device=None):
     """Pure-XLA stage 1 with the same contract as the pallas path: the
     round-2 candidate_mask + resolve_ends formulation (device_chunker.py).
     Used on non-TPU backends (tests, CPU meshes), where pallas interpret
     mode would unroll the grid at trace time; it is exact, so ambig is
-    always 0."""
+    always 0.  ``device`` pins the resolve program to a mesh device (the
+    per-device mesh data plane runs one of these per virtual device)."""
     import jax
     import jax.numpy as jnp
 
@@ -491,7 +493,11 @@ def _make_stage1_xla(plan: Stage1Plan):
             [sizes, n[:, None], jnp.zeros((B, 1), jnp.int32)], axis=1)
 
     def wrapped(rows_u8, lengths):
+        import jax
+
         parts = np.asarray(rows_u8).reshape(B, P)
+        if device is not None:
+            parts = jax.device_put(parts, device)
         packed = post_fn(resolve_fn(parts, lengths))
         packed.copy_to_host_async()
         return packed

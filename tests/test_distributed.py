@@ -43,3 +43,65 @@ def test_sharded_matches_unsharded():
     ends_1, sizes_1, _, _ = make_index_parts_fn(cfg)(parts, lengths)
     np.testing.assert_array_equal(np.asarray(ends_s), np.asarray(ends_1))
     np.testing.assert_array_equal(np.asarray(sizes_s), np.asarray(sizes_1))
+
+
+def test_mesh_part_indexer_matches_single_and_pins_devices():
+    """MeshPartIndexer: global submission order preserved, results
+    bit-identical to the single-device pipeline, and each sub-indexer's
+    batches committed to its own mesh device."""
+    from longtail_tpu.parallel.pipeline import (
+        DevicePartIndexer,
+        MeshPartIndexer,
+    )
+
+    devices = jax.devices()[: min(4, len(jax.devices()))]
+    target = 1024
+    mesh_ix = MeshPartIndexer(target, devices, lanes=2)
+    single = DevicePartIndexer(target, lanes=2)
+
+    rng = np.random.default_rng(13)
+    P = mesh_ix.part_bytes
+    parts = [(i, rng.integers(0, 256, size=n, dtype=np.uint8))
+             for i, n in enumerate(
+                 [P, P // 2 + 13, 1, 700, P - 1, P // 3, 4096, P])]
+
+    got = list(mesh_ix.index_stream(iter(parts), prefetch_depth=0))
+    want = list(single.index_stream(iter(parts), prefetch_depth=0))
+    assert [t for t, _, _ in got] == [t for t, _ in parts]
+    for (tg, sg, hg), (tw, sw, hw) in zip(got, want):
+        assert tg == tw
+        np.testing.assert_array_equal(sg, sw)
+        np.testing.assert_array_equal(hg, hw)
+
+    # pinning: a submitted batch's rows land on the sub-indexer's device
+    for k, ix in enumerate(mesh_ix.indexers):
+        e = ix.submit_host([(0, parts[0][1])])
+        assert e[1].devices() == {devices[k]}
+
+
+def test_mesh_upsync_byte_identical_to_host():
+    """api.upsync over a CPU mesh == host upsync, byte for byte (the
+    dryrun's core assertion, as a fast unit test)."""
+    from jax.sharding import Mesh
+    from longtail_tpu import api
+    from longtail_tpu.stores.fsblockstore import FSBlockStore
+    from longtail_tpu.stores.storage import MemStorage, ensure_parent_dirs
+
+    n = min(4, len(jax.devices()))
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+    rng = np.random.default_rng(23)
+    st = MemStorage()
+    st.create_dir("src")
+    for path, size in [("a.bin", 1024 * 1024 + 17), ("b/c.bin", 2048),
+                       ("empty", 0)]:
+        ensure_parent_dirs(st, f"src/{path}")
+        st.write(f"src/{path}",
+                 rng.integers(0, 256, size, np.uint8).tobytes())
+
+    def run(mesh_arg, tag):
+        store = FSBlockStore(st, f"st_{tag}")
+        vi, _ = api.upsync(st, "src", store, target_chunk_size=1024,
+                           mesh=mesh_arg)
+        return vi.to_bytes()
+
+    assert run(mesh, "m") == run(None, "s")
