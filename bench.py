@@ -44,20 +44,25 @@ def log(msg: str) -> None:
 
 
 def make_corpus(total_bytes: int, seed: int = 7) -> np.ndarray:
-    """Synthetic corpus: random base tiles with repeated spans so both the
-    chunker (cut distribution) and dedup see realistic structure."""
+    """Synthetic corpus with realistic structure at every layer: each
+    64 MiB segment is a fresh structured batch (periodic/zeros/tiled/
+    noise — see structured_rows, compresses ~2.5-4x like the reference's
+    game-content corpora, CHANGELOG.md:51-58), and every 8th segment
+    duplicates an earlier one so chunk-level dedup sees real hits.  The
+    old corpus (one 16 MiB tile repeated) deduped ~250x and made
+    store-side numbers meaninglessly easy."""
     rng = np.random.default_rng(seed)
-    tile = rng.integers(0, 256, size=16 << 20, dtype=np.uint8)
-    reps = -(-total_bytes // len(tile))
-    buf = np.tile(tile, reps)[:total_bytes]
-    # overwrite some spans with earlier content -> duplicate chunks
-    n = len(buf)
-    for _ in range(8):
-        src = int(rng.integers(0, max(1, n // 2)))
-        dst = int(rng.integers(n // 2, max(n // 2 + 1, n - (1 << 20))))
-        ln = int(min(1 << 20, n - dst))
-        buf[dst:dst + ln] = buf[src:src + ln]
-    return buf
+    seg = 64 << 20
+    out = np.empty(-(-total_bytes // seg) * seg, np.uint8)
+    n_seg = len(out) // seg
+    R = seg // 128
+    for j in range(n_seg):
+        if j >= 5 and j % 8 == 7:
+            out[j * seg:(j + 1) * seg] = out[(j - 5) * seg:(j - 4) * seg]
+            continue
+        base = rng.integers(0, 256, (3 * (R // 8), 128), dtype=np.uint8)
+        out[j * seg:(j + 1) * seg] = structured_rows(base, np).reshape(-1)
+    return out[:total_bytes]
 
 
 def parts_of(buf: np.ndarray, part_bytes: int):

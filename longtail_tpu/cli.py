@@ -102,18 +102,17 @@ def cmd_upsync(args) -> int:
 
 
 def cmd_downsync(args) -> int:
-    from longtail_tpu.stores.prefetchblockstore import PrefetchBlockStore
-
     storage = FSStorage()
-    # reference downsync chain: fs [-> cache] -> compress (cmd/main.c:1264);
-    # the prefetch wrapper is our channel-1 block-reader analog
+    # reference downsync chain: fs [-> cache] -> compress (cmd/main.c:1264).
+    # Fetch read-ahead now lives in change_version's channel-1 job-graph
+    # fetch jobs (the reference's channel-1 block readers), so no prefetch
+    # wrapper is needed here.
     backing = FSBlockStore(FSStorage(), args.storage_uri)
     if args.cache_path:
         from longtail_tpu.stores.cacheblockstore import CacheBlockStore
         local = FSBlockStore(FSStorage(), args.cache_path)
         backing = CacheBlockStore(local, backing)
-    store = CompressBlockStore(
-        PrefetchBlockStore(backing, workers=max(1, args.workers // 2)))
+    store = CompressBlockStore(backing)
     vi = VersionIndex.from_bytes(storage.read(args.source_path))
     current = None
     if args.target_index_path:

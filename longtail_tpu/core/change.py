@@ -16,7 +16,7 @@ machinery against an empty target.
 from __future__ import annotations
 
 import errno
-from concurrent.futures import ThreadPoolExecutor
+import threading
 
 import numpy as np
 
@@ -191,25 +191,33 @@ def change_version(block_store, version_storage: Storage,
     per_block = _build_block_write_infos(target, store_index, chunked_assets)
     total = len(per_block)
 
-    def apply_block(item) -> None:
+    raw_fetch = getattr(block_store, "get_stored_block_raw", None) or \
+        block_store.get_stored_block
+    decomp = getattr(block_store, "decompress_stored_block", None) or \
+        (lambda blk: blk)
+
+    def fetch_block(b: int):
+        check(cancel_token)
+        bh = int(store_index.block_hashes[b])
+        mon = get_monitor()
+        if mon:
+            mon.block_load(b, bh, 0)
+        return raw_fetch(bh)
+
+    def scatter_block(item, data: bytes) -> None:
         check(cancel_token)
         b, (assets, file_offs, block_offs, sizes) = item
         mon = get_monitor()
-        bh = int(store_index.block_hashes[b])
         if mon:
-            mon.block_load(b, bh, 0)
-        block = block_store.get_stored_block(bh)
-        data = block.block_data
-        if mon:
-            mon.block_load_complete(b, bh)
-            mon.block_compose(b, bh)
+            mon.block_compose(b, int(store_index.block_hashes[b]))
+        view = memoryview(data)       # zero-copy range slices
         # group consecutive runs per asset (writes arrive in file order)
         uniq, starts = np.unique(assets, return_index=True)
         bounds = np.append(np.sort(starts), len(assets))
         for s, e in zip(bounds[:-1], bounds[1:]):
             a = int(assets[s])
             ranges = [(int(file_offs[i]),
-                       data[int(block_offs[i]):int(block_offs[i])
+                       view[int(block_offs[i]):int(block_offs[i])
                             + int(sizes[i])])
                       for i in range(s, e)]
             full = _full_path(root, target.path(a))
@@ -221,14 +229,59 @@ def change_version(block_store, version_storage: Storage,
 
     items = list(per_block.items())
     if workers > 1 and total > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            done = 0
-            for _ in pool.map(apply_block, items):
+        # overlapped pipeline on the two-channel job graph: raw block
+        # fetches on channel 1 (I/O), decompress + scatter on channel 0
+        # (CPU), one dependency chain per block with a sliding window so
+        # at most `window` blocks are in flight — the reference's
+        # channel-1 block readers + in-flight cap, the lever behind its
+        # 0.4.1 peak-memory numbers (src/longtail.c:5169, :4997;
+        # CHANGELOG.md:73-76).
+        from longtail_tpu.parallel.jobgraph import JobGraph
+
+        window = max(8, workers + workers // 2)
+        graph = JobGraph(workers={0: workers, 1: max(2, workers // 2)})
+        done = 0
+        done_lock = threading.Lock()
+
+        def tick():
+            nonlocal done
+            with done_lock:
                 done += 1
                 progress(done, total)
+
+        scatter_ids: list[int] = []
+        for j, item in enumerate(items):
+            b = item[0]
+            deps_f = [scatter_ids[j - window]] if j >= window else []
+            f = graph.add(lambda b=b: fetch_block(b), deps=deps_f,
+                          channel=1)
+
+            def decode(f=f, b=b):
+                blk = decomp(graph.result(f))
+                graph.drop_result(f)
+                mon = get_monitor()
+                if mon:
+                    mon.block_load_complete(
+                        b, int(store_index.block_hashes[b]))
+                return blk.block_data
+
+            d = graph.add(decode, deps=[f])
+
+            def scatter(item=item, d=d):
+                scatter_block(item, graph.result(d))
+                graph.drop_result(d)
+                tick()
+
+            scatter_ids.append(graph.add(scatter, deps=[d]))
+        graph.run()
     else:
         for i, item in enumerate(items):
-            apply_block(item)
+            blk = decomp(fetch_block(item[0]))
+            mon = get_monitor()
+            if mon:
+                mon.block_load_complete(
+                    item[0], int(store_index.block_hashes[item[0]]))
+            scatter_block(item, blk.block_data)
             progress(i + 1, total)
 
     if retain_permissions_flag:

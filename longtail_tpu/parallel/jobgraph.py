@@ -92,6 +92,12 @@ class JobGraph:
     def result(self, jid: int):
         return self._jobs[jid].result
 
+    def drop_result(self, jid: int) -> None:
+        """Release a finished job's result reference — pipelines holding
+        large payloads (block bytes) call this from the consuming job so
+        in-flight memory stays bounded by the dependency window."""
+        self._jobs[jid].result = None
+
     # -- execution --------------------------------------------------------
 
     def _complete(self, jid: int, result) -> None:

@@ -62,6 +62,17 @@ class BlockStoreBase:
     def preflight_get(self, block_hashes) -> None:
         self.stats.bump("preflight_count")
 
+    # split fetch/decode seam: the downsync job graph fetches raw blocks
+    # on its I/O channel and decodes on the compute channel
+    # (WriteContentBlock2Job's async GetStoredBlock + decompress split,
+    # src/longtail.c:8347 + longtail_compressblockstore.c:132).  Stores
+    # without a codec layer decode as identity.
+    def get_stored_block_raw(self, block_hash: int):
+        return self.get_stored_block(block_hash)
+
+    def decompress_stored_block(self, stored_block):
+        return stored_block
+
     def get_stats(self) -> BlockStoreStats:
         return self.stats
 

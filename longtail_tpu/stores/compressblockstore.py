@@ -57,6 +57,15 @@ class CompressBlockStore(BlockStoreBase):
         self.stats.bump("get_stored_block_count")
         return decompress_block(self.backing.get_stored_block(block_hash))
 
+    def get_stored_block_raw(self, block_hash: int) -> StoredBlock:
+        """Fetch without decoding — the I/O half of the downsync job
+        graph's fetch->decompress split."""
+        self.stats.bump("get_stored_block_count")
+        return self.backing.get_stored_block(block_hash)
+
+    def decompress_stored_block(self, stored_block: StoredBlock) -> StoredBlock:
+        return decompress_block(stored_block)
+
     def preflight_get(self, block_hashes) -> None:
         self.backing.preflight_get(block_hashes)
 

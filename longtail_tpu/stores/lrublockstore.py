@@ -39,6 +39,16 @@ class LRUBlockStore(BlockStoreBase):
         self.stats.bump("put_stored_block_count")
         self.backing.put_stored_block(stored_block)
 
+
+    def get_stored_block_raw(self, block_hash: int):
+        # raw fetches bypass this wrapper's caching/dedup (the downsync
+        # job graph fetches each block exactly once) and reach the codec
+        # layer below
+        return self.backing.get_stored_block_raw(block_hash)
+
+    def decompress_stored_block(self, stored_block):
+        return self.backing.decompress_stored_block(stored_block)
+
     def preflight_get(self, block_hashes) -> None:
         self.backing.preflight_get(block_hashes)
 
