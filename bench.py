@@ -253,6 +253,23 @@ def bench_data_plane(total_bytes: int, target_chunk_size: int,
         result["chunk_hash_gbps"] = round(nb / (time.perf_counter() - t0)
                                           / 1e9, 3)
         log(f"chunk+hash only (context): {result['chunk_hash_gbps']} GB/s")
+        # context: the DEFAULT codec's device-assisted path (zstd via
+        # anchor scan + ZSTD_compressSequences) vs host level 3, one block
+        from longtail_tpu.ops import zstd as _z
+        from longtail_tpu.ops import zstd_device
+        if zstd_device._zstd_api() is not None:
+            zt = h3 = raw = 0
+            for blk in mirror_blocks:
+                zout = zstd_device.compress_block(blk)
+                assert _z.decompress(zout, len(blk)) == blk
+                zt += len(zout)
+                h3 += len(_z.compress(blk, 3))
+                raw += len(blk)
+            result["zstd_device_ratio"] = round(raw / zt, 2)
+            result["zstd_level3_ratio"] = round(raw / h3, 2)
+            log(f"zstd device-assisted (context, full batch): ratio "
+                f"{result['zstd_device_ratio']}x vs host level3 "
+                f"{result['zstd_level3_ratio']}x (decode verified)")
     else:
         t0 = time.perf_counter()
         n_chunks, n_bytes, _ = run(n_batches, False)

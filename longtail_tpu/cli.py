@@ -66,13 +66,15 @@ def _open_store(storage_uri: str, compression_needed: bool = True):
 
 def _xp(args):
     """--device routes the chunk+hash data plane through the attached JAX
-    accelerator (the streamed device pipeline) and lz4 block compression
-    through the TPU match scanner; default stays host numpy."""
+    accelerator (the streamed device pipeline) and lz4/zstd block
+    compression through the TPU anchor scanner (zstd: + libzstd's
+    ZSTD_compressSequences entropy stage); default stays host numpy."""
     if getattr(args, "device", False):
         import jax.numpy as jnp
 
-        from longtail_tpu.ops.compression_registry import Lz4Codec
+        from longtail_tpu.ops.compression_registry import Lz4Codec, ZstdCodec
         Lz4Codec.use_device = True
+        ZstdCodec.use_device = True
         return jnp
     import numpy as np
     return np

@@ -48,9 +48,19 @@ class ZstdCodec:
                C.COMPRESSION_TYPE_ZSTD_HIGH: 8,
                C.COMPRESSION_TYPE_ZSTD_MAX: 22}
 
+    # process-wide switch: device anchor scan (whole-block window) +
+    # native sequence walk + libzstd ZSTD_compressSequences entropy
+    # stage (ops/zstd_device.py).  Standard frames either way; enabled
+    # by the CLI --device flag.
+    use_device = False
+
     def compress(self, tag: int, data: bytes) -> bytes:
+        level = self._levels.get(tag, 3)
+        if ZstdCodec.use_device:
+            from longtail_tpu.ops import zstd_device
+            return zstd_device.compress_block(data, level)
         from longtail_tpu.ops import zstd
-        return zstd.compress(data, self._levels.get(tag, 3))
+        return zstd.compress(data, level)
 
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
         from longtail_tpu.ops import zstd
