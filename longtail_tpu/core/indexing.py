@@ -345,6 +345,23 @@ def chunk_assets(storage: Storage, root: str, file_infos: FileInfos,
             for i in range(count):
                 work(i)
 
+    return assemble_chunked_assets(results, file_infos, hasher,
+                                   asset_tags, path_hashes)
+
+
+def assemble_chunked_assets(results, file_infos: FileInfos, hasher,
+                            asset_tags=None,
+                            path_hashes=None) -> ChunkedAssets:
+    """Fold per-asset (hashes, sizes) streams into ChunkedAssets —
+    per-asset content hash = hash of the chunk-hash bytes
+    (src/longtail.c:2518-2537).  Also the reassembly step after the
+    multi-host chunk-result exchange."""
+    count = file_infos.count
+    if path_hashes is None:
+        path_hashes = np.array(
+            [hasher.hash_buffer(p.encode("utf-8"))
+             for p in file_infos.paths],
+            dtype=np.uint64) if count else np.zeros(0, dtype=np.uint64)
     counts = np.array([len(r[0]) for r in results], dtype=np.uint32)
     starts = np.zeros(count, dtype=np.uint32)
     if count:
@@ -409,7 +426,18 @@ def create_version_index(storage: Storage, root: str,
     ca = chunk_assets(storage, root, file_infos, hash_identifier,
                       target_chunk_size, asset_tags, workers, xp,
                       mesh, progress)
+    return build_version_index_from_chunked(
+        ca, file_infos, hash_identifier, target_chunk_size)
 
+
+def build_version_index_from_chunked(ca: ChunkedAssets,
+                                     file_infos: FileInfos,
+                                     hash_identifier: int,
+                                     target_chunk_size: int) -> VersionIndex:
+    """Longtail_BuildVersionIndex (src/longtail.c:2709): assemble the
+    zero-parse index from already-chunked per-asset streams.  Separate
+    from create_version_index so the multi-host driver can feed it the
+    globally exchanged chunk results (parallel/multihost.py)."""
     # dedup chunks preserving first-occurrence order (src/longtail.c:2949-2972)
     uniq_hashes, first_idx, inverse = np.unique(
         ca.chunk_hashes, return_index=True, return_inverse=True)

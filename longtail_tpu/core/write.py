@@ -69,12 +69,22 @@ def write_content(source_storage: Storage, block_store,
                   missing_store_index: StoreIndex,
                   version_index: VersionIndex, version_root: str,
                   workers: int = 8, cancel_token=None,
+                  block_indexes=None,
                   progress=null_progress) -> None:
-    """Longtail_WriteContent (src/longtail.c:4760)."""
+    """Longtail_WriteContent (src/longtail.c:4760).
+
+    ``block_indexes``: write only these blocks of the missing store
+    index — the multi-host driver shards blocks across processes
+    (parallel/multihost.py); every process sees the same deterministic
+    missing-content plan and writes its own slice."""
     if missing_store_index.block_count == 0:
         return
     part_lookup = create_asset_part_lookup(version_index)
-    total = missing_store_index.block_count
+    block_list = list(range(missing_store_index.block_count)) \
+        if block_indexes is None else [int(b) for b in block_indexes]
+    total = len(block_list)
+    if total == 0:
+        return
 
     def assemble_block(b: int) -> StoredBlock:
         check(cancel_token)
@@ -137,12 +147,12 @@ def write_content(source_storage: Storage, block_store,
         # reads, channel 1 carries the store puts, with a dependency
         # edge per block so puts overlap later assemblies
         graph = JobGraph(workers={0: workers, 1: max(2, workers // 2)})
-        for b in range(total):
+        for b in block_list:
             a = graph.add(lambda b=b: assemble_block(b))
             graph.add(
                 lambda b=b, a=a: put_block(b, graph.result(a)),
                 deps=[a], channel=1)
         graph.run()
     else:
-        for b in range(total):
+        for b in block_list:
             put_block(b, assemble_block(b))
