@@ -249,6 +249,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("ls", help="list a version index")
     sp.add_argument("--version-index-path", required=True)
+    # accepted for reference CLI-flag parity (cmd/main.c:3238): ls reads
+    # names/sizes from the .lvi alone, but the reference's ls takes the
+    # store URI too, so scripts written against it keep working
+    sp.add_argument("--storage-uri", default=None,
+                    help="accepted for reference parity; ls only needs "
+                         "the version index")
     sp.add_argument("path", nargs="?", default="")
     sp.set_defaults(fn=cmd_ls)
 

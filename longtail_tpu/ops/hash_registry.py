@@ -71,11 +71,11 @@ class MeowHasher:
 
     def hash_chunks(self, data_u8, lengths, xp=np) -> np.ndarray:
         from longtail_tpu.ops import meow
-        out = np.zeros(len(lengths), dtype=np.uint64)
-        data_np = np.asarray(data_u8)
-        for i, ln in enumerate(np.asarray(lengths)):
-            out[i] = meow.hash64(bytes(data_np[i, :int(ln)]))
-        return out
+        # numpy-batched lockstep path (ops/meow.hash_chunks_batched):
+        # all lanes' AES rounds run together instead of one Python-int
+        # hash per chunk
+        return meow.hash_chunks_batched(np.asarray(data_u8),
+                                        np.asarray(lengths))
 
 
 _REGISTRY = {

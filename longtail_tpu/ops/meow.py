@@ -216,3 +216,161 @@ def hash64(data: bytes) -> int:
     """The longtail 64-bit meow hash: low u64 of the 128-bit digest
     (lib/meowhash/longtail_meowhash.c:48)."""
     return meow_hash128(data) & _M64
+
+
+# ---------------------------------------------------------------------------
+# numpy-batched form: N chunks hashed in lockstep (lanes, 16)-u8 states
+# ---------------------------------------------------------------------------
+
+_INV_SBOX_NP = None
+_IMC_NP = None
+_ISR_NP = None
+
+
+def _np_tables():
+    global _INV_SBOX_NP, _IMC_NP, _ISR_NP
+    import numpy as np
+
+    if _INV_SBOX_NP is None:
+        _INV_SBOX_NP = np.array(_INV_SBOX, dtype=np.uint8)
+        _IMC_NP = [np.array(t, dtype=np.uint32) for t in _IMC]
+        _ISR_NP = np.array(_ISR, dtype=np.intp)
+    return _INV_SBOX_NP, _IMC_NP, _ISR_NP
+
+
+def _aesdec_np(state, key):
+    """(N, 16) u8 batched x86 AESDEC (InvShiftRows + InvSubBytes +
+    InvMixColumns + xor key), same tables as the scalar path."""
+    import numpy as np
+
+    inv_sbox, imc, isr = _np_tables()
+    s = inv_sbox[state[:, isr]]                    # (N, 16)
+    cols = s.reshape(-1, 4, 4).astype(np.intp)     # (N, 4 cols, 4 rows)
+    w = (imc[0][cols[:, :, 0]] ^ imc[1][cols[:, :, 1]]
+         ^ imc[2][cols[:, :, 2]] ^ imc[3][cols[:, :, 3]])   # (N, 4) u32
+    out = np.ascontiguousarray(w.astype("<u4")).view(np.uint8)
+    return out.reshape(-1, 16) ^ key
+
+
+def _paddq_np(a, b):
+    import numpy as np
+
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    return (a.view("<u8") + b.view("<u8")).view(np.uint8)
+
+
+def _mix_reg_np(x, r1, r2, r3, r4, r5, i1, i2, i3, i4, mask=None):
+    n1 = _aesdec_np(x[r1], x[r2])
+    n3 = _paddq_np(x[r3], i1)
+    n2 = _aesdec_np(x[r2] ^ i2, x[r4])
+    n5 = _paddq_np(x[r5], i3)
+    n4 = x[r4] ^ i4
+    if mask is None:
+        x[r1], x[r2], x[r3], x[r4], x[r5] = n1, n2, n3, n4, n5
+    else:
+        import numpy as np
+
+        m = mask[:, None]
+        x[r1] = np.where(m, n1, x[r1])
+        x[r2] = np.where(m, n2, x[r2])
+        x[r3] = np.where(m, n3, x[r3])
+        x[r4] = np.where(m, n4, x[r4])
+        x[r5] = np.where(m, n5, x[r5])
+
+
+def _shuffle_np(x, r1, r2, r3, r4, r5, r6):
+    n1 = _aesdec_np(x[r1], x[r4])
+    t2 = _paddq_np(x[r2], x[r5])      # r2 after its paddq, before ^= r3
+    n4 = _aesdec_np(x[r4] ^ x[r6], t2)
+    n5 = _paddq_np(x[r5], x[r6])
+    x[r1], x[r2], x[r4], x[r5] = n1, t2 ^ x[r3], n4, n5
+
+
+def hash_chunks_batched(data_u8, lengths):
+    """Batched MeowHash-64 over (N, L) u8 rows with per-row lengths —
+    the lockstep replacement for the per-chunk Python loop: all lanes'
+    256-byte blocks absorb together (masked past each lane's block
+    count), the per-lane residual/length injections are prepared with
+    the scalar helpers (O(1) each), and the tail 32-byte blocks gather
+    at per-lane offsets.  Bit-identical to meow_hash128 per lane."""
+    import numpy as np
+
+    data = np.ascontiguousarray(data_u8, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    N, L = data.shape
+    if N == 0:
+        return np.zeros(0, dtype=np.uint64)
+    pad = np.zeros((N, 48), np.uint8)   # absorb windows read past L
+    data = np.concatenate([data, pad], axis=1)
+
+    seed = np.frombuffer(MEOW_DEFAULT_SEED, np.uint8)
+    x = [np.broadcast_to(seed[16 * i:16 * i + 16], (N, 16)).copy()
+         for i in range(8)]
+
+    nblk = lengths >> 8
+    max_blk = int(nblk.max())
+    for b in range(max_blk):
+        mask = nblk > b
+        base = b << 8
+        for k, (r1, r2, r3, r4, r5) in enumerate(_MIX_PATTERNS):
+            p = base + 0x20 * k
+            _mix_reg_np(x, r1, r2, r3, r4, r5,
+                        data[:, p + 15:p + 31], data[:, p:p + 16],
+                        data[:, p + 1:p + 17], data[:, p + 16:p + 32],
+                        mask=mask)
+
+    # per-lane residual + length injection values via the scalar helpers
+    inj = np.zeros((8, N, 16), np.uint8)
+    for i in range(N):
+        n = int(lengths[i])
+        row = data[i]
+        last = n & ~0xF
+        len8 = n & 0xF
+        xmm9 = int.from_bytes(row[last:last + len8].tobytes(), "little") \
+            if len8 else 0
+        xmm11 = 0
+        if n & 0x10:
+            xmm11 = xmm9
+            xmm9 = int.from_bytes(row[last - 0x10:last].tobytes(), "little")
+        vals = (_palignr(xmm9, xmm11, 15), xmm9,
+                _palignr(xmm9, xmm11, 1), xmm11,
+                _palignr(0, n & _M128, 15), 0,
+                _palignr(0, n & _M128, 1), n & _M128)
+        for j, v in enumerate(vals):
+            inj[j, i] = np.frombuffer(
+                int(v).to_bytes(16, "little"), np.uint8)
+    _mix_reg_np(x, 0, 4, 6, 1, 2, inj[0], inj[1], inj[2], inj[3])
+    _mix_reg_np(x, 1, 5, 7, 2, 3, inj[4], inj[5], inj[6], inj[7])
+
+    # up to 7 trailing 32-byte blocks at per-lane offsets
+    lane_count = (lengths >> 5) & 0x7
+    ptr = (nblk << 8).astype(np.int64)
+    col = np.arange(16, dtype=np.int64)
+    for k in range(int(lane_count.max()) if N else 0):
+        mask = lane_count > k
+        base = ptr + 0x20 * k
+
+        def win(off):
+            idx = (base + off)[:, None] + col[None, :]
+            # masked-out lanes may index past their row; clamp (values
+            # unused)
+            idx = np.minimum(idx, data.shape[1] - 1)
+            return np.take_along_axis(data, idx, axis=1)
+
+        r1, r2, r3, r4, r5 = _MIX_PATTERNS[(2 + k) % 8]
+        _mix_reg_np(x, r1, r2, r3, r4, r5,
+                    win(15), win(0), win(1), win(16), mask=mask)
+
+    for pat in ((0, 1, 2, 4, 5, 6), (1, 2, 3, 5, 6, 7), (2, 3, 4, 6, 7, 0),
+                (3, 4, 5, 7, 0, 1), (4, 5, 6, 0, 1, 2), (5, 6, 7, 1, 2, 3),
+                (6, 7, 0, 2, 3, 4), (7, 0, 1, 3, 4, 5), (0, 1, 2, 4, 5, 6),
+                (1, 2, 3, 5, 6, 7), (2, 3, 4, 6, 7, 0), (3, 4, 5, 7, 0, 1)):
+        _shuffle_np(x, *pat)
+
+    x0 = _paddq_np(x[0], x[2])
+    x1 = _paddq_np(x[1], x[3])
+    x4 = _paddq_np(x[4], x[6])
+    x5 = _paddq_np(x[5], x[7])
+    lo = _paddq_np(x0 ^ x1, x4 ^ x5)
+    return lo[:, :8].copy().view("<u8").reshape(-1).astype(np.uint64)

@@ -972,9 +972,13 @@ def _ml_code(v: int) -> int:
 
 
 def _find_sequences(data: bytes, start: int, end: int, table: dict,
-                    min_match: int = 4):
-    """Greedy hash-chain match finder over data[start:end] with history
-    back to offset 0 (the whole frame is the window).
+                    min_match: int = 4, rep_init: int = 1):
+    """Match finder over data[start:end] with history back to offset 0
+    (the whole frame is the window): hash-table candidates + a
+    repeat-offset probe at the running rep1 (repeats are nearly free to
+    encode, so they win ties) + 1-step lazy matching (defer when the
+    next position holds a meaningfully longer match) — the zstd-level-
+    3-style search the round-3 greedy encoder lacked.
 
     Returns (sequences [(lit_len, match_len, offset)], trailing_lit_start).
     """
@@ -983,29 +987,53 @@ def _find_sequences(data: bytes, start: int, end: int, table: dict,
     ip = start
     limit = end - 8  # keep a tail margin for match extension reads
     skip_acc = 0
-    while ip < limit:
-        key = data[ip:ip + 4]
+    cur_rep = rep_init
+
+    def probe(pos):
+        """Best match starting at pos: (mlen, match_start)."""
+        key = data[pos:pos + 4]
         cand = table.get(key)
-        table[key] = ip
-        if cand is None or data[cand:cand + 4] != key:
+        table[key] = pos
+        best_len = 0
+        best_m = 0
+        if cand is not None and data[cand:cand + 4] == key:
+            mlen = 4
+            max_len = end - pos
+            while mlen < max_len and data[cand + mlen] == data[pos + mlen]:
+                mlen += 1
+            best_len, best_m = mlen, cand
+        r = pos - cur_rep
+        if r >= 0 and data[pos:pos + 4] == data[r:r + 4]:
+            mlen = 4
+            max_len = end - pos
+            while mlen < max_len and data[r + mlen] == data[pos + mlen]:
+                mlen += 1
+            # a rep-offset match costs ~0 offset bits: prefer unless the
+            # table match is meaningfully longer
+            if mlen + 1 >= best_len:
+                best_len, best_m = mlen, r
+        return best_len, best_m
+
+    while ip < limit:
+        mlen, m = probe(ip)
+        if mlen < min_match:
             ip += 1 + (skip_acc >> 7)
             skip_acc += 1
             continue
         skip_acc = 0
-        # extend backwards
-        m = cand
+        # 1-step lazy: a clearly longer match one byte later wins
+        if ip + 1 < limit:
+            ml2, m2 = probe(ip + 1)
+            if ml2 > mlen + 2:
+                ip += 1
+                mlen, m = ml2, m2
+        # extend backwards (match length grows with each step)
         while ip > anchor and m > 0 and data[ip - 1] == data[m - 1]:
             ip -= 1
             m -= 1
-        # extend forwards
-        mlen = 0
-        max_len = end - ip
-        while mlen < max_len and data[m + mlen] == data[ip + mlen]:
             mlen += 1
-        if mlen < min_match:
-            ip += 1
-            continue
         seqs.append((ip - anchor, mlen, ip - m))
+        cur_rep = ip - m
         ip += mlen
         anchor = ip
     return seqs, anchor
@@ -1094,14 +1122,19 @@ def _predef_encoders():
     return _LL_ENC, _OF_ENC, _ML_ENC
 
 
-def _encode_sequences(seqs) -> bytes:
+def _encode_sequences(seqs, rep: list | None = None) -> bytes:
     """Sequences section with all-predefined FSE tables.
 
-    seqs: list of (lit_len, match_len, offset) with real offsets;
-    offset_value = offset + 3 (repeat offsets unused by this encoder)."""
+    seqs: list of (lit_len, match_len, offset) with real offsets.
+    ``rep`` is the running repeat-offset triple (mutated; pass the
+    frame's encoder state): offsets matching a repeat slot emit the
+    1-3 offset_value codes (RFC 8878 sec 3.1.1.3.2.1.1) — ~20 bits
+    cheaper each than a literal offset."""
     n = len(seqs)
     if n == 0:
         return b"\x00"
+    if rep is None:
+        rep = [1, 4, 8]
     if n < 128:
         hdr = bytes([n])
     elif n < 0x7F00:
@@ -1113,7 +1146,26 @@ def _encode_sequences(seqs) -> bytes:
     ll_c, ml_c, of_c = [], [], []
     ll_x, ml_x, of_x = [], [], []
     for ll, ml, off in seqs:
-        ov = off + 3
+        # repeat-offset match, mirroring the decoder's resolution order
+        if ll != 0:
+            reps = (rep[0], rep[1], rep[2], None)
+        else:
+            reps = (rep[1], rep[2], rep[0] - 1, None)
+        for i, r in enumerate(reps):
+            if r == off:
+                ov = i + 1
+                break
+        else:
+            ov = off + 3
+        # decoder-side rep update (must track exactly)
+        if ov > 3:
+            rep[2], rep[1], rep[0] = rep[1], rep[0], off
+        else:
+            idx = ov - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep[1], rep[0] = rep[0], off
+            elif idx >= 2:
+                rep[2], rep[1], rep[0] = rep[1], rep[0], off
         oc = ov.bit_length() - 1
         if oc > 28:
             raise ZstdError("offset too large for predefined table")
@@ -1168,6 +1220,7 @@ def compress(data: bytes, level: int = 3) -> bytes:
         return bytes(out)
 
     table: dict = {}
+    rep = [1, 4, 8]   # encoder-side repeat-offset state, frame-scoped
     pos = 0
     while pos < n:
         blen = min(BLOCK_MAX, n - pos)
@@ -1179,7 +1232,8 @@ def compress(data: bytes, level: int = 3) -> bytes:
             out.append(block[0])
             pos += blen
             continue
-        seqs_raw, lit_tail = _find_sequences(data, pos, pos + blen, table)
+        seqs_raw, lit_tail = _find_sequences(data, pos, pos + blen, table,
+                                             rep_init=rep[0])
         lits = bytearray()
         seqs = []
         cursor = pos
@@ -1188,14 +1242,17 @@ def compress(data: bytes, level: int = 3) -> bytes:
             seqs.append((ll, ml, off))
             cursor += ll + ml
         lits += data[lit_tail:pos + blen]
+        rep_try = list(rep)
         try:
-            payload = _encode_literals(bytes(lits)) + _encode_sequences(seqs)
+            payload = _encode_literals(bytes(lits)) + \
+                _encode_sequences(seqs, rep_try)
         except ZstdError:
             payload = None
         if payload is not None and len(payload) < blen:
             out += ((last | (2 << 1) | (len(payload) << 3))
                     ).to_bytes(3, "little")
             out += payload
+            rep = rep_try   # commit: a raw fallback must not advance rep
         else:
             out += ((last | (0 << 1) | (blen << 3))).to_bytes(3, "little")
             out += block

@@ -335,19 +335,33 @@ def pow2_cap(padded_chunk: int) -> int:
     return p * _LEAF
 
 
+def class_floor(cfg: ChunkerConfig) -> int:
+    """Smallest size class: the power-of-two >= 2 * min_size (capped).
+    Chunks below it pad up into the floor class — the sub-min classes
+    hold a small fraction of the bytes, and folding them cuts the
+    compiled-program count (cold prewarm) and the per-batch dispatch
+    count (each dispatch costs an RTT on the dev rig) by ~40%."""
+    f = _LEAF
+    target = min(2 * cfg.min_size, pow2_cap(cfg.padded_chunk))
+    while f < target:
+        f *= 2
+    return f
+
+
 def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
     """Fixed per-batch bucket geometry: ((cls, rows), ...) for every
-    power-of-two size class, with rows sized ~1.4x the *expected* chunk
-    count of that class under the CDC size distribution
-    (P(size > s) ~ exp(-(s - min)/d)), so a typical batch fits each class
-    in its one fixed-shape dispatch.  Overflow spills to extra dispatches
-    of the same shape."""
+    power-of-two size class from class_floor up, with rows sized ~1.4x
+    the *expected* chunk count of that class under the CDC size
+    distribution (P(size > s) ~ exp(-(s - min)/d)), so a typical batch
+    fits each class in its one fixed-shape dispatch.  Overflow spills to
+    extra dispatches of the same shape."""
     import math
 
     e_total = max(1, batch_bytes // cfg.avg_size)
     d = float(cfg.discriminator)
     mn = cfg.min_size
     cap = pow2_cap(cfg.padded_chunk)
+    floor = class_floor(cfg)
 
     def p_gt(s):  # P(chunk size > s)
         if s >= cfg.max_size:
@@ -355,11 +369,13 @@ def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
         return math.exp(-(max(s, mn) - mn) / d)
 
     plan = []
-    c = _LEAF
+    c = floor
     while c <= cap:
         share = p_gt(c // 2) - p_gt(c)
+        if c == floor:
+            share = 1.0 - p_gt(c)   # all sub-floor mass folds in
         if c == cap:
-            share += p_gt(c)  # cap mass
+            share += p_gt(c)        # cap mass
         m = _row_mult(c)
         rows = max(m, -(-int(1.4 * share * e_total) // m) * m)
         plan.append((c, rows))
@@ -398,12 +414,14 @@ def make_concat_fn(n: int):
     return jax.jit(lambda *rs: jnp.concatenate(rs, axis=1))
 
 
-def _pow2_padded(sizes: np.ndarray, cap: int) -> np.ndarray:
-    """Next power-of-two multiple of 1 KiB >= size, capped at cap."""
+def _pow2_padded(sizes: np.ndarray, cap: int, floor: int = _LEAF
+                 ) -> np.ndarray:
+    """Next power-of-two multiple of 1 KiB >= size, clamped to
+    [floor, cap] (both must be planned classes)."""
     leaves = np.maximum(-(-sizes // _LEAF), 1)
     pow2 = np.uint64(1) << np.uint64(
         np.ceil(np.log2(leaves)).astype(np.int64))
-    return np.minimum(pow2.astype(np.int64) * _LEAF, cap)
+    return np.clip(pow2.astype(np.int64) * _LEAF, floor, cap)
 
 
 def _prefetch(it: Iterable, depth: int) -> Iterator:
@@ -463,6 +481,7 @@ class DevicePartIndexer:
         # synchronous fetch per batch overlaps other batches' dispatches
         self.queue_depth = 3
         self._cap = pow2_cap(self.cfg.padded_chunk)
+        self._floor = class_floor(self.cfg)
         self._slack = self._cap // 4 + 2048
         self._class_plan = class_plan(self.cfg, self.lanes * self.part_bytes)
         if prewarm:
@@ -588,7 +607,7 @@ class DevicePartIndexer:
         else:
             flat_starts = np.zeros(0, np.int64)
             flat_sizes = np.zeros(0, np.int64)
-        padded = _pow2_padded(flat_sizes, self._cap) \
+        padded = _pow2_padded(flat_sizes, self._cap, self._floor) \
             if len(flat_sizes) else flat_sizes
         words2d = make_pad_words_fn(self._slack)(dev_rows)
         if self._on_tpu:

@@ -73,16 +73,17 @@ def test_production_zstd_size_parity():
 
 
 def test_fallback_encoder_ratio_tracked():
-    """The from-spec Python encoder (greedy + predefined/huffman) must
-    stay within 1.35x of upstream zstd level 3 on the mixed corpus — the
-    documented fallback-path gap (ops/zstd_frame.py)."""
+    """The from-spec Python encoder (lazy match finder + repeat offsets
+    + predefined/huffman entropy) must stay within 1.05x of upstream
+    zstd level 3 on the mixed corpus (measured 1.000x; the round-3
+    greedy encoder's documented gap was 1.35x)."""
     lib = _libzstd()
     if lib is None:
         pytest.skip("system libzstd unavailable (no reference sizes)")
     blocks = _corpus_blocks()[:3]
     ours = sum(len(zstd_frame.compress(b, 3)) for b in blocks)
     ref = sum(len(_upstream_compress(lib, b, 3)) for b in blocks)
-    assert ours <= ref * 1.35, (ours, ref, ours / ref)
+    assert ours <= ref * 1.05, (ours, ref, ours / ref)
     for b in blocks[:1]:
         out = zstd_frame.compress(b, 3)
         # upstream must be able to decode our stream (interop), checked

@@ -18,6 +18,7 @@ from longtail_tpu.parallel.device_chunker import ChunkerConfig  # noqa: E402
 from longtail_tpu.parallel.pipeline import (  # noqa: E402
     DevicePartIndexer,
     _pow2_padded,
+    class_floor,
     class_plan,
     pow2_cap,
 )
@@ -31,6 +32,7 @@ def test_class_plan_covers_every_padded_class(target):
     max_size, e.g. target 24576 -> max 49152)."""
     cfg = ChunkerConfig.from_target(target)
     cap = pow2_cap(cfg.padded_chunk)
+    floor = class_floor(cfg)
     plan_classes = {c for c, _ in class_plan(cfg, 64 << 20)}
     sizes = np.unique(np.concatenate([
         np.arange(1, min(cfg.max_size, 4096) + 1),
@@ -38,7 +40,7 @@ def test_class_plan_covers_every_padded_class(target):
         [cfg.max_size, cfg.max_size - 1, cfg.padded_chunk],
     ]))
     sizes = sizes[(sizes >= 1) & (sizes <= cfg.max_size)]
-    padded = _pow2_padded(sizes, cap)
+    padded = _pow2_padded(sizes, cap, floor)
     assert set(np.unique(padded)) <= plan_classes, target
     # and classes are powers of two (the BLAKE3 kernel requires it)
     for c in plan_classes:
@@ -116,7 +118,7 @@ def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
     plan = dict(indexer._class_plan)
     common = cfg.avg_size
     n_common = plan[int(_pow2_padded(
-        np.array([common]), indexer._cap)[0])]
+        np.array([common]), indexer._cap, indexer._floor)[0])]
     sizes = [common] * (n_common + n_common // 2 + 3)
     sizes += [cfg.max_size, cfg.max_size - 1, cfg.min_size + 1, 1000]
     if cfg.max_size > 40000:
@@ -124,7 +126,7 @@ def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
     flat_sizes = np.array(sizes, dtype=np.int64)
     n = len(flat_sizes)
     flat_starts = np.cumsum(np.concatenate([[0], flat_sizes[:-1]]))
-    padded = _pow2_padded(flat_sizes, indexer._cap)
+    padded = _pow2_padded(flat_sizes, indexer._cap, indexer._floor)
 
     buckets = indexer._dispatch_buckets_tpu(
         None, flat_starts, flat_sizes, padded)
@@ -151,7 +153,7 @@ def test_retire_assembles_bucket_hashes(monkeypatch):
                   np.array([600, 1024], np.uint32)]
     flat_sizes = np.concatenate(lane_sizes).astype(np.int64)
     flat_starts = np.cumsum(np.concatenate([[0], flat_sizes[:-1]]))
-    padded = _pow2_padded(flat_sizes, indexer._cap)
+    padded = _pow2_padded(flat_sizes, indexer._cap, indexer._floor)
     buckets = indexer._dispatch_buckets_tpu(
         None, flat_starts, flat_sizes, padded)
     entry = (["a", "b"], lane_sizes, counts, buckets)
