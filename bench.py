@@ -437,23 +437,17 @@ def bench_device_compress(total_bytes: int) -> dict:
     jax.block_until_ready(fn(w))
     log(f"device-lz4 workload: {n_batches} x 64 MiB batches")
 
-    # device scan alone (perturbed per iteration; one dependent fetch)
-    @jax.jit
-    def loop(x, n):
-        acc = jnp.int32(0)
-        for i in range(int(n)):
-            _, _, c = fn(x ^ (acc.astype(jnp.uint32) + jnp.uint32(i + 1)))
-            acc = acc + jnp.sum(c)
-        return acc
-
-    k = min(n_batches, 8)
-    _ = np.asarray(loop(w, k))
+    # device scan alone: perturb + dispatch per batch (async), counts
+    # fetched per handle — a fused unrolled loop would blow up compile
+    perturb = jax.jit(lambda x, s: x ^ s)
+    sum_counts = jax.jit(lambda c: jnp.sum(c))
+    _ = np.asarray(sum_counts(fn(perturb(w, jnp.uint32(1)))[2]))
     t0 = time.perf_counter()
-    reps = -(-n_batches // k)
-    for r in range(reps):
-        _ = np.asarray(loop(w ^ jnp.uint32(r + 17), k))
+    handles = [sum_counts(fn(perturb(w, jnp.uint32(i + 2)))[2])
+               for i in range(n_batches)]
+    _ = [np.asarray(h) for h in handles]
     scan_dt = time.perf_counter() - t0
-    scan_gbps = reps * k * batch / scan_dt / 1e9
+    scan_gbps = n_batches * batch / scan_dt / 1e9
 
     # assembly + ratio on one batch
     anchors = fast_block_anchors(w, block // 4)
@@ -510,7 +504,6 @@ def bench_downsync(total_bytes: int) -> dict:
     CHANGELOG.md:51-78): upsync a synthetic tree into a zstd fs store, then
     reconstruct it through the CLI in a subprocess — wall-clock GB/s plus
     the child's peak RSS (the 0.4.1 memory story)."""
-    import resource
     import shutil
     import subprocess
     import tempfile
@@ -551,15 +544,29 @@ def bench_downsync(total_bytes: int) -> dict:
 
         out = os.path.join(base, "out")
         t0 = time.perf_counter()
-        subprocess.run(
+        child = subprocess.Popen(
             [sys.executable, "-m", "longtail_tpu.cli", "--workers", "16",
              "downsync",
              "--storage-uri", os.path.join(base, "store"),
              "--source-path", lvi, "--target-path", out],
-            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        # sample /proc: getrusage(RUSAGE_CHILDREN).ru_maxrss counts the
+        # brief fork window where the child still shares this process's
+        # (corpus-sized) pages, wildly overstating the child's real peak
+        rss_kb = 0
+        while child.poll() is None:
+            try:
+                with open(f"/proc/{child.pid}/status") as f:
+                    for ln in f:
+                        if ln.startswith("VmRSS"):
+                            rss_kb = max(rss_kb, int(ln.split()[1]))
+            except FileNotFoundError:
+                break
+            time.sleep(0.05)
+        if child.returncode != 0:
+            raise RuntimeError(f"downsync failed: {child.returncode}")
         dt = time.perf_counter() - t0
-        rss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
         gbps = total_bytes / dt / 1e9
         log(f"downsync: {dt:.2f}s {gbps:.3f} GB/s  peak RSS "
             f"{rss_kb / 1048576:.2f} GiB")

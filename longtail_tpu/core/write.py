@@ -145,13 +145,22 @@ def write_content(source_storage: Storage, block_store,
         # the shed + async PutStoredBlock park/resume, src/longtail.c:
         # 4559-4758): channel 0 assembles block payloads from source
         # reads, channel 1 carries the store puts, with a dependency
-        # edge per block so puts overlap later assemblies
+        # edge per block so puts overlap later assemblies.  A sliding
+        # window (assemble_i waits on put_{i-window}) bounds in-flight
+        # assembled blocks, and each put drops its payload reference —
+        # without both, an upsync holds every assembled block in memory.
         graph = JobGraph(workers={0: workers, 1: max(2, workers // 2)})
-        for b in block_list:
-            a = graph.add(lambda b=b: assemble_block(b))
-            graph.add(
-                lambda b=b, a=a: put_block(b, graph.result(a)),
-                deps=[a], channel=1)
+        window = max(8, workers + workers // 2)
+        put_ids: list[int] = []
+        for j, b in enumerate(block_list):
+            deps_a = [put_ids[j - window]] if j >= window else []
+            a = graph.add(lambda b=b: assemble_block(b), deps=deps_a)
+
+            def put(b=b, a=a):
+                put_block(b, graph.result(a))
+                graph.drop_result(a)
+
+            put_ids.append(graph.add(put, deps=[a], channel=1))
         graph.run()
     else:
         for b in block_list:
