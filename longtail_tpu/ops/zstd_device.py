@@ -185,7 +185,8 @@ def compress_block(src: bytes, level: int = 3) -> bytes:
     buf[:n] = np.frombuffer(src, np.uint8)
     words = jax.device_put(np.frombuffer(buf.tobytes(), "<u4"))
     (apos, aref), = fast_block_anchors(
-        words, npad // 4, max_offset_words=npad // 4)
+        words, npad // 4, max_offset_words=npad // 4,
+        suppress_sampled_chains=False)
     keep = apos < n
     seqs = sequences_from_anchors(src, apos[keep], aref[keep])
     out = compress_sequences(src, seqs, level)

@@ -148,7 +148,8 @@ _GPOS_BITS = 22          # block word-position bits (<= 16 MiB blocks)
 @functools.lru_cache(maxsize=8)
 def make_fast_anchor_fn(n_words: int, block_words: int,
                         cap: int = FAST_CAP,
-                        max_offset_words: int = 16383):
+                        max_offset_words: int = 16383,
+                        suppress_sampled_chains: bool = True):
     """jit: (n_words,) u32 words -> (pos (B, cap) i32 word positions,
     ref (B, cap) i32, counts (B,) i32) per block of ``block_words``.
 
@@ -213,14 +214,27 @@ def make_fast_anchor_fn(n_words: int, block_words: int,
         apos = k2 & (u32(1 << _GPOS_BITS) - u32(1))
         valid = (k2 >> u32(_GPOS_BITS)) == 0
         # chain suppression BEFORE the cap (a chained run would starve
-        # it): same-offset continuations within ~4 bins are covered by
-        # the host's forward extension from the run's first anchor
+        # it): (a) same-offset continuations within ~4 bins, and (b)
+        # anchors whose ref IS the previous anchor's position — the
+        # sampled-occurrence chain a periodic region produces even when
+        # bin-phase wobble makes the deltas unequal.  Both are covered
+        # by the host's forward extension from the run's first anchor.
         dpos = apos - prevc(apos)
         dref = ref - prevc(ref)
         # dpos >= 1 excludes the column-0 self-compare (dpos == dref == 0
         # would suppress every chain HEAD, zeroing out pure-periodic rows)
-        chain = valid & prevc(valid) & (dpos == dref) & \
-            (dpos >= u32(1)) & (dpos <= u32(4 * BIN_WORDS))
+        chain = valid & prevc(valid) & (dpos >= u32(1)) & \
+            (dpos == dref) & (dpos <= u32(4 * BIN_WORDS))
+        if suppress_sampled_chains:
+            # anchors whose ref IS the previous anchor's position: the
+            # sampled-occurrence chain a periodic region produces even
+            # when bin-phase wobble makes the deltas unequal.  Vital for
+            # the LZ4 tier (a wobbly-periodic block otherwise floods the
+            # cap); the zstd tier keeps these anchors — its whole-block
+            # window + entropy stage turn them into cheap sequences and
+            # over-suppression costs ratio at content transitions.
+            chain = chain | (valid & prevc(valid) & (dpos >= u32(1)) &
+                             (ref == prevc(apos)))
         keep = valid & ~chain
         key3 = jnp.where(keep, u32(0), u32(1) << u32(_GPOS_BITS)) | apos
         k3, ref3 = jax.lax.sort((key3, ref), dimension=1, num_keys=1)
@@ -257,12 +271,14 @@ def make_fast_anchor_packed_fn(n_words: int, block_words: int,
 
 
 def fast_block_anchors(words, block_words: int, cap: int = FAST_CAP,
-                       max_offset_words: int = 16383):
+                       max_offset_words: int = 16383,
+                       suppress_sampled_chains: bool = True):
     """One-shot fast-tier scan: returns per-block position-sorted
     (pos_bytes, ref_bytes) anchor lists."""
     n = int(np.prod(words.shape))
     pos, ref, counts = make_fast_anchor_fn(
-        n, block_words, cap, max_offset_words)(words)
+        n, block_words, cap, max_offset_words,
+        suppress_sampled_chains)(words)
     pos = np.asarray(pos)
     ref = np.asarray(ref)
     counts = np.asarray(counts)
