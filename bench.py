@@ -121,7 +121,8 @@ def bench_data_plane(total_bytes: int, target_chunk_size: int,
     log(f"device: {dev.platform} / {dev.device_kind}")
 
     t0 = time.perf_counter()
-    indexer = DevicePartIndexer(target_chunk_size, prewarm=True)
+    indexer = DevicePartIndexer(target_chunk_size, prewarm=True,
+                                compress=with_compress)
     log(f"prewarm (concurrent compile of all programs): "
         f"{time.perf_counter() - t0:.1f}s")
     B, P = indexer.lanes, indexer.part_bytes

@@ -172,81 +172,106 @@ def make_fast_anchor_fn(n_words: int, block_words: int,
     TPU sort (reference codec seam: lib/zstd/longtail_zstd.c:11-22).
     """
     import jax
-    import jax.numpy as jnp
 
     assert block_words % BIN_WORDS == 0
     nblk = n_words // block_words
     K = nblk * block_words
     nbins_b = block_words // BIN_WORDS
-    u32 = jnp.uint32
-    lg = BIN_WORDS.bit_length() - 1
 
     @jax.jit
     def fn(words):
-        words = words.reshape(-1)      # accepts the (R, 128) row layout
-        w0 = words[:K]
-        w1 = jnp.concatenate([words[1:K], jnp.zeros((1,), u32)])
-        h = (w0 * u32(0x9E3779B1)) ^ ((w1 * u32(0x85EBCA77)) >> u32(13)) \
-            ^ (w1 << u32(7))
-        # per-bin argmin of h: pack (h>>6)<<6 | pos6, reduce-min
-        pos6 = jax.lax.broadcasted_iota(
-            jnp.int32, (K // BIN_WORDS, BIN_WORDS), 1).astype(u32)
-        packed = (h.reshape(-1, BIN_WORDS) & ~u32(BIN_WORDS - 1)) | pos6
-        m = jnp.min(packed, axis=1)                 # (K//64,)
-        hmin = m >> u32(lg)                         # 26-bit min-hash
-        binpos = (jax.lax.broadcasted_iota(
-            jnp.int32, (nblk, nbins_b), 1).astype(u32) << u32(lg))
-        gpos = binpos.reshape(-1) + (m & u32(BIN_WORDS - 1))
-        hs, ps = jax.lax.sort(
-            (hmin.reshape(nblk, nbins_b), gpos.reshape(nblk, nbins_b)),
-            dimension=1, num_keys=2)
-
-        def prevc(a):
-            return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (nblk, nbins_b), 1)
-        cand = (col > 0) & (hs == prevc(hs)) & \
-            (ps - prevc(ps) <= u32(max_offset_words))
-        # positional compaction (full width): (flag | gpos) ascending,
-        # ref rides as payload
-        key2 = jnp.where(cand, u32(0), u32(1) << u32(_GPOS_BITS)) | ps
-        k2, ref = jax.lax.sort((key2, prevc(ps)), dimension=1, num_keys=1)
-        apos = k2 & (u32(1 << _GPOS_BITS) - u32(1))
-        valid = (k2 >> u32(_GPOS_BITS)) == 0
-        # chain suppression BEFORE the cap (a chained run would starve
-        # it): (a) same-offset continuations within ~4 bins, and (b)
-        # anchors whose ref IS the previous anchor's position — the
-        # sampled-occurrence chain a periodic region produces even when
-        # bin-phase wobble makes the deltas unequal.  Both are covered
-        # by the host's forward extension from the run's first anchor.
-        dpos = apos - prevc(apos)
-        dref = ref - prevc(ref)
-        # dpos >= 1 excludes the column-0 self-compare (dpos == dref == 0
-        # would suppress every chain HEAD, zeroing out pure-periodic rows)
-        chain = valid & prevc(valid) & (dpos >= u32(1)) & \
-            (dpos == dref) & (dpos <= u32(4 * BIN_WORDS))
-        if suppress_sampled_chains:
-            # anchors whose ref IS the previous anchor's position: the
-            # sampled-occurrence chain a periodic region produces even
-            # when bin-phase wobble makes the deltas unequal.  Vital for
-            # the LZ4 tier (a wobbly-periodic block otherwise floods the
-            # cap); the zstd tier keeps these anchors — its whole-block
-            # window + entropy stage turn them into cheap sequences and
-            # over-suppression costs ratio at content transitions.
-            chain = chain | (valid & prevc(valid) & (dpos >= u32(1)) &
-                             (ref == prevc(apos)))
-        keep = valid & ~chain
-        key3 = jnp.where(keep, u32(0), u32(1) << u32(_GPOS_BITS)) | apos
-        k3, ref3 = jax.lax.sort((key3, ref), dimension=1, num_keys=1)
-        k3 = k3[:, :cap]
-        ref3 = ref3[:, :cap]
-        valid3 = (k3 >> u32(_GPOS_BITS)) == 0
-        counts = jnp.minimum(jnp.sum(keep, axis=1), cap).astype(jnp.int32)
-        pos_out = jnp.where(valid3, k3, 0).astype(jnp.int32)
-        ref_out = jnp.where(valid3, ref3, 0).astype(jnp.int32)
-        return pos_out, ref_out, counts
+        m = bin_mins_from_words(words, K)
+        return _anchors_from_bin_mins(m, nblk, nbins_b, cap,
+                                      max_offset_words,
+                                      suppress_sampled_chains)
 
     return fn
+
+
+def bin_mins_from_words(words, K: int):
+    """(>= K words) u32 stream -> (K // BIN_WORDS,) packed per-bin
+    argmin values: top 26 bits = min gram hash, low 6 = its word
+    position within the bin.  Shift-invariant content-defined sampling.
+    The stage-1 Pallas scan computes the same quantity in-kernel
+    (stage1.py) so the TPU pipeline never re-reads the bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    words = words.reshape(-1)
+    w0 = words[:K]
+    w1 = jnp.concatenate([words[1:K], jnp.zeros((1,), u32)])
+    h = (w0 * u32(0x9E3779B1)) ^ ((w1 * u32(0x85EBCA77)) >> u32(13)) \
+        ^ (w1 << u32(7))
+    pos6 = jax.lax.broadcasted_iota(
+        jnp.int32, (K // BIN_WORDS, BIN_WORDS), 1).astype(u32)
+    packed = (h.reshape(-1, BIN_WORDS) & ~u32(BIN_WORDS - 1)) | pos6
+    return jnp.min(packed, axis=1)
+
+
+def _anchors_from_bin_mins(m, nblk: int, nbins_b: int, cap: int,
+                           max_offset_words: int,
+                           suppress_sampled_chains: bool):
+    """The anchor-extraction tail shared by the standalone fast scan and
+    the stage-1-fused path: batched sorts over the 1/64-density bin-min
+    samples (trace under jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    lg = BIN_WORDS.bit_length() - 1
+    hmin = m >> u32(lg)                         # 26-bit min-hash
+    binpos = (jax.lax.broadcasted_iota(
+        jnp.int32, (nblk, nbins_b), 1).astype(u32) << u32(lg))
+    gpos = binpos.reshape(-1) + (m & u32(BIN_WORDS - 1))
+    hs, ps = jax.lax.sort(
+        (hmin.reshape(nblk, nbins_b), gpos.reshape(nblk, nbins_b)),
+        dimension=1, num_keys=2)
+
+    def prevc(a):
+        return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (nblk, nbins_b), 1)
+    cand = (col > 0) & (hs == prevc(hs)) & \
+        (ps - prevc(ps) <= u32(max_offset_words))
+    # positional compaction (full width): (flag | gpos) ascending,
+    # ref rides as payload
+    key2 = jnp.where(cand, u32(0), u32(1) << u32(_GPOS_BITS)) | ps
+    k2, ref = jax.lax.sort((key2, prevc(ps)), dimension=1, num_keys=1)
+    apos = k2 & (u32(1 << _GPOS_BITS) - u32(1))
+    valid = (k2 >> u32(_GPOS_BITS)) == 0
+    # chain suppression BEFORE the cap (a chained run would starve
+    # it): (a) same-offset continuations within ~4 bins, and (b)
+    # anchors whose ref IS the previous anchor's position — the
+    # sampled-occurrence chain a periodic region produces even when
+    # bin-phase wobble makes the deltas unequal.  Both are covered
+    # by the host's forward extension from the run's first anchor.
+    dpos = apos - prevc(apos)
+    dref = ref - prevc(ref)
+    # dpos >= 1 excludes the column-0 self-compare (dpos == dref == 0
+    # would suppress every chain HEAD, zeroing out pure-periodic rows)
+    chain = valid & prevc(valid) & (dpos >= u32(1)) & \
+        (dpos == dref) & (dpos <= u32(4 * BIN_WORDS))
+    if suppress_sampled_chains:
+        # anchors whose ref IS the previous anchor's position: the
+        # sampled-occurrence chain a periodic region produces even
+        # when bin-phase wobble makes the deltas unequal.  Vital for
+        # the LZ4 tier (a wobbly-periodic block otherwise floods the
+        # cap); the zstd tier keeps these anchors — its whole-block
+        # window + entropy stage turn them into cheap sequences and
+        # over-suppression costs ratio at content transitions.
+        chain = chain | (valid & prevc(valid) & (dpos >= u32(1)) &
+                         (ref == prevc(apos)))
+    keep = valid & ~chain
+    key3 = jnp.where(keep, u32(0), u32(1) << u32(_GPOS_BITS)) | apos
+    k3, ref3 = jax.lax.sort((key3, ref), dimension=1, num_keys=1)
+    k3 = k3[:, :cap]
+    ref3 = ref3[:, :cap]
+    valid3 = (k3 >> u32(_GPOS_BITS)) == 0
+    counts = jnp.minimum(jnp.sum(keep, axis=1), cap).astype(jnp.int32)
+    pos_out = jnp.where(valid3, k3, 0).astype(jnp.int32)
+    ref_out = jnp.where(valid3, ref3, 0).astype(jnp.int32)
+    return pos_out, ref_out, counts
 
 
 @functools.lru_cache(maxsize=8)
@@ -265,6 +290,31 @@ def make_fast_anchor_packed_fn(n_words: int, block_words: int,
     @jax.jit
     def fn(words):
         pos, ref, counts = base(words)
+        return jnp.concatenate([pos, ref, counts[:, None]], axis=1)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def make_bins_anchor_packed_fn(n_bins: int, bins_per_block: int,
+                               cap: int = FAST_CAP,
+                               max_offset_words: int = 16383,
+                               suppress_sampled_chains: bool = True):
+    """Anchor extraction straight from precomputed per-bin packed mins
+    (the stage-1 scan kernel's fused output): (n_bins,) u32 ->
+    (B, 2*cap + 1) i32 single-fetch result.  Skips the whole-stream
+    hash + reduce pass — the bytes were already read by stage 1."""
+    import jax
+    import jax.numpy as jnp
+
+    nblk = n_bins // bins_per_block
+
+    @jax.jit
+    def fn(bins):
+        m = bins.reshape(-1)[: nblk * bins_per_block]
+        pos, ref, counts = _anchors_from_bin_mins(
+            m, nblk, bins_per_block, cap, max_offset_words,
+            suppress_sampled_chains)
         return jnp.concatenate([pos, ref, counts[:, None]], axis=1)
 
     return fn

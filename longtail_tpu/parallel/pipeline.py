@@ -461,11 +461,12 @@ class DevicePartIndexer:
     def __init__(self, target_chunk_size: int,
                  batch_bytes: int = 64 << 20, lanes: int | None = None,
                  prewarm: bool = False, hash_kind: str = "blake3",
-                 device=None):
+                 device=None, compress: bool = False):
         import jax
 
         self.hash_kind = hash_kind
         self.device = device       # pin all work to one mesh device
+        self.compress = compress   # stage-1 also emits anchor bin-mins
         self.cfg = ChunkerConfig.from_target(target_chunk_size)
         self.part_bytes = target_chunk_size * 1024
         self._on_tpu = jax.default_backend() == "tpu"
@@ -476,7 +477,8 @@ class DevicePartIndexer:
             # and the host backend gains nothing from wide batches
             self.lanes = min(self.lanes, 8)
         self.plan = Stage1Plan(self.cfg, self.lanes, self.part_bytes)
-        self._stage1 = make_stage1_fn(self.plan, device)
+        self._stage1 = make_stage1_fn(self.plan, device,
+                                      with_anchors=compress)
         # in-flight batches per pipeline stage: deep enough that the one
         # synchronous fetch per batch overlaps other batches' dispatches
         self.queue_depth = 3
@@ -527,8 +529,20 @@ class DevicePartIndexer:
                 *[jnp.zeros((2, r), jnp.uint32)
                   for _, r in self._class_plan]))
 
+        def warm_anchor_bins():
+            from longtail_tpu.parallel.device_match import (
+                make_bins_anchor_packed_fn,
+            )
+
+            n_bins = B * P // 256
+            jax.block_until_ready(make_bins_anchor_packed_fn(
+                n_bins, (8 << 20) // 256)(
+                    jnp.zeros((n_bins,), jnp.uint32)))
+
         jobs = [warm_stage1, warm_pad, warm_split] + [
             functools.partial(warm_class, c, r) for c, r in self._class_plan]
+        if self.compress:
+            jobs.append(warm_anchor_bins)
         with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
             list(ex.map(lambda f: f(), jobs))
 
@@ -538,9 +552,14 @@ class DevicePartIndexer:
         """Stage 1 on an already-device-resident (B*P//128, 128) uint8 row
         batch: dispatch the resolve step (async; the result's D2H copy is
         started immediately) and return the stage-1 entry.  host_rows
-        (same bytes on host) enables cheap lane repair."""
+        (same bytes on host) enables cheap lane repair.  With
+        compress=True the scan kernel also emits the anchor bin-mins,
+        carried device-resident in the entry."""
+        if self.compress:
+            packed, bins = self._stage1(dev_rows, lengths)  # async
+            return (tags, dev_rows, lengths, packed, host_rows, bins)
         packed = self._stage1(dev_rows, lengths)  # async
-        return (tags, dev_rows, lengths, packed, host_rows)
+        return (tags, dev_rows, lengths, packed, host_rows, None)
 
     def submit_host(self, batch):
         """Stage 1 from host parts: pack (tag, bytes) pairs into the row
@@ -569,11 +588,12 @@ class DevicePartIndexer:
         group chunks into power-of-two size buckets, dispatch one
         pack+BLAKE3 call per bucket group (async).
 
-        keep_words=True appends the device-resident word-row batch to
-        the returned entry (entry[4]) so a stage-4 consumer (the device
-        block codec, parallel/device_match.py) can scan the SAME
-        HBM-resident bytes without a re-upload."""
-        tags, dev_rows, lengths, packed_dev, host_rows = entry
+        keep_words=True appends the device-resident word-row batch and
+        the stage-1 anchor bin-mins to the returned entry (entries [4]
+        and [5]) so a stage-4 consumer (the device block codec,
+        parallel/device_match.py) can run on the SAME HBM-resident data
+        without a re-upload or a re-read."""
+        tags, dev_rows, lengths, packed_dev, host_rows, bins = entry
         P = self.part_bytes
         n_lanes = len(tags)
         packed = np.asarray(packed_dev)  # sync point (D2H already running)
@@ -617,7 +637,8 @@ class DevicePartIndexer:
             buckets = self._dispatch_buckets_xla(
                 words2d, flat_starts, flat_sizes, padded)
         if keep_words:
-            return (tags, lane_sizes, counts[:n_lanes], buckets, words2d)
+            return (tags, lane_sizes, counts[:n_lanes], buckets, words2d,
+                    bins)
         return (tags, lane_sizes, counts[:n_lanes], buckets)
 
     def _dispatch_buckets_tpu(self, words2d, flat_starts, flat_sizes,
@@ -696,20 +717,31 @@ class DevicePartIndexer:
 
     def submit_compress(self, entry, block_bytes: int = 8 << 20,
                         max_offset_words: int = 16383):
-        """Stage 4: dispatch the fast-tier anchor scan over the batch's
-        resident word rows (requires plan_hash(keep_words=True)).
-        Returns (packed_pos, packed_ref, counts) device arrays — collect
-        with numpy + device_match.decode semantics via
-        collect_compress()."""
+        """Stage 4: anchor extraction for the batch (requires
+        plan_hash(keep_words=True)).  With compress=True the stage-1
+        scan already emitted the per-bin gram-hash argmins in the same
+        byte pass, so only the small bin-level sorts run here; otherwise
+        the fast-tier scan re-reads the resident word rows.  Returns the
+        single-fetch packed result — collect with collect_compress()."""
         from longtail_tpu.parallel.device_match import (
+            make_bins_anchor_packed_fn,
             make_fast_anchor_packed_fn,
         )
 
-        words2d = entry[4]
-        n_words = int(np.prod(words2d.shape))
-        fn = make_fast_anchor_packed_fn(n_words, block_bytes // 4,
-                                        max_offset_words=max_offset_words)
-        packed = fn(words2d)       # (B, 2*cap + 1): pos | ref | count
+        bins = entry[5]
+        if bins is not None:
+            n_bins = int(np.prod(bins.shape))
+            fn = make_bins_anchor_packed_fn(
+                n_bins, block_bytes // 256,
+                max_offset_words=max_offset_words)
+            packed = fn(bins)
+        else:
+            words2d = entry[4]
+            n_words = int(np.prod(words2d.shape))
+            fn = make_fast_anchor_packed_fn(
+                n_words, block_bytes // 4,
+                max_offset_words=max_offset_words)
+            packed = fn(words2d)   # (B, 2*cap + 1): pos | ref | count
         packed.copy_to_host_async()
         return packed
 

@@ -75,7 +75,7 @@ def _shift_back(jnp, pltpu, full, k: int):
 
 
 def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
-                      z: int):
+                      z: int, with_anchors: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -85,12 +85,49 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
     HR = 8                           # halo rows (1024 bytes >= WINDOW-1)
     SEG_T = tile_bytes // z          # segments per tile (= _SEG_LANES)
     ZR = z // 128                    # rows per segment
+    BINS_T = tile_bytes // 256       # anchor bins per tile (= RT // 2)
     tiles_per_part = part_bytes // tile_bytes
     d = np.uint32(cfg.discriminator)
     u32 = jnp.uint32
 
+    def _shift_fwd(full, k: int):
+        """out[r, c] = full[flat(r,c) + k] over the row-major view
+        (1 <= k <= 127).  The last row's wrapped lanes read row 0
+        (garbage — the consumer tolerates a bad last-gram per tile)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
+        rl = pltpu.roll(full, 128 - k, axis=1)
+        rn = pltpu.roll(rl, full.shape[0] - 1, axis=0)
+        return jnp.where(lane < 128 - k, rl, rn)
+
+    def bin_mins(x):
+        """Per-256-byte-bin packed argmin of the 8-byte-gram hash —
+        device_match.bin_mins_from_words computed in-tile, so the fast
+        compression tier rides the same byte read as the chunk scan.
+        The last gram of each tile reads across the tile boundary
+        (garbage): the host assembler memcmp-rejects false anchors."""
+        xb = x.astype(u32)
+        sh = [_shift_fwd(xb, k) for k in range(1, 8)]
+        w0 = xb | (sh[0] << u32(8)) | (sh[1] << u32(16)) | \
+            (sh[2] << u32(24))
+        w1 = sh[3] | (sh[4] << u32(8)) | (sh[5] << u32(16)) | \
+            (sh[6] << u32(24))
+        h = (w0 * u32(0x9E3779B1)) ^ ((w1 * u32(0x85EBCA77)) >> u32(13)) \
+            ^ (w1 << u32(7))
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        word_in_bin = ((jax.lax.rem(row, 2) * 128 + lane) // 4).astype(u32)
+        packed = jnp.where(jax.lax.rem(lane, 4) == 0,
+                           (h & ~u32(63)) | word_in_bin,
+                           u32(0xFFFFFFFF))
+        # mosaic has no unsigned reductions: the sign-flip bijection
+        # makes i32 ordering match u32 ordering
+        pi = jax.lax.bitcast_convert_type(
+            packed ^ u32(0x80000000), jnp.int32)
+        mi = jnp.min(pi.reshape(BINS_T, 256), axis=1)
+        return jax.lax.bitcast_convert_type(mi, u32) ^ u32(0x80000000)
+
     def kernel(lengths_ref, x_ref, halo_ref, tlo_ref, thi_ref,
-               min1_ref, min2_ref, cnt_ref):
+               min1_ref, min2_ref, cnt_ref, *maybe_bins):
         i = pl.program_id(0)
         part = i // tiles_per_part
         length = lengths_ref[part]
@@ -98,6 +135,10 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
         full = jnp.concatenate(
             [halo_ref[:].astype(jnp.int32), x_ref[:].astype(jnp.int32)],
             axis=0)  # (HR + RT, 128)
+
+        if with_anchors:
+            maybe_bins[0][pl.ds(i % 8, 1), :] = \
+                bin_mins(full[HR:, :]).reshape(1, BINS_T)
 
         # table lookup: two 128-entry lane gathers + select
         idx = full & 127
@@ -144,6 +185,25 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
     def build(n_bytes_total: int):
         n_tiles = n_bytes_total // tile_bytes
         assert n_tiles % 8 == 0, (n_bytes_total, tile_bytes)
+        out_specs = [
+            pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
+        ]
+        if with_anchors:
+            out_specs.append(
+                pl.BlockSpec((8, BINS_T), lambda i, *_: (i // 8, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tiles, BINS_T), jnp.uint32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -160,23 +220,12 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
                 pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, SEG_T), lambda i, *_: (i // 8, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, SEG_T), jnp.int32),
-            ],
+            out_shape=out_shape,
             interpret=jax.default_backend() != "tpu",
         )
 
@@ -355,7 +404,8 @@ class Stage1Plan:
 
 
 @functools.lru_cache(maxsize=32)
-def make_stage1_fn(plan: Stage1Plan, device=None):
+def make_stage1_fn(plan: Stage1Plan, device=None,
+                   with_anchors: bool = False):
     """jit: (rows (B*P//128, 128) u8 — parts flattened part-major into
     128-byte rows, lengths (B,) i32) -> packed (B, c_pad + 2) i32:
     columns [0, c_pad) = chunk sizes, column c_pad = n_chunks, column
@@ -368,22 +418,27 @@ def make_stage1_fn(plan: Stage1Plan, device=None):
     import jax
 
     if jax.default_backend() != "tpu":
-        return _make_stage1_xla(plan, device)
+        return _make_stage1_xla(plan, device, with_anchors)
     # the pallas path follows its committed inputs' placement
-    return _make_stage1_pallas(plan)
+    return _make_stage1_pallas(plan, with_anchors)
 
 
-def _make_stage1_pallas(plan: Stage1Plan):
+def _make_stage1_pallas(plan: Stage1Plan, with_anchors: bool = False):
     """The Pallas scan+walk stage-1 path.  Off-TPU the kernels run in
     interpret mode — slow, but exact: tests use this to pin the kernels
-    against the XLA oracle without a chip."""
+    against the XLA oracle without a chip.
+
+    with_anchors=True adds a fourth scan-kernel output — the per-256-byte
+    -bin packed gram-hash argmins the fast compression tier consumes
+    (device_match.bin_mins_from_words fused into the byte pass) — and
+    the returned fn yields (packed, bins) instead of packed."""
     import jax
     import jax.numpy as jnp
 
     cfg, B, P = plan.cfg, plan.lanes, plan.part_bytes
     z, tile = plan.z, plan.tile_bytes
     Sp = P // z
-    scan_kernel = _make_scan_kernel(cfg, P, tile, z)(B * P)
+    scan_kernel = _make_scan_kernel(cfg, P, tile, z, with_anchors)(B * P)
     walk = _make_walk_kernel(cfg, B, P, z, plan.c_pad)
     tlo = jnp.asarray(HASH_TABLE[:128][None, :])
     thi = jnp.asarray(HASH_TABLE[128:][None, :])
@@ -437,6 +492,15 @@ def _make_stage1_pallas(plan: Stage1Plan):
         return jnp.concatenate(
             [sizes, n[:, None], amb[:, None]], axis=1)
 
+    if with_anchors:
+        def fn(rows_u8, lengths):
+            min1, min2, cnt, bins = scan_fn(rows_u8, lengths)
+            ends128, flags = walk_fn(*suf_fn(min1, min2, cnt, lengths))
+            packed = post_fn(ends128, flags)
+            packed.copy_to_host_async()
+            return packed, bins
+        return fn
+
     def fn(rows_u8, lengths):
         min1, min2, cnt = scan_fn(rows_u8, lengths)
         ends128, flags = walk_fn(*suf_fn(min1, min2, cnt, lengths))
@@ -447,7 +511,8 @@ def _make_stage1_pallas(plan: Stage1Plan):
     return fn
 
 
-def _make_stage1_xla(plan: Stage1Plan, device=None):
+def _make_stage1_xla(plan: Stage1Plan, device=None,
+                     with_anchors: bool = False):
     """Pure-XLA stage 1 with the same contract as the pallas path: the
     round-2 candidate_mask + resolve_ends formulation (device_chunker.py).
     Used on non-TPU backends (tests, CPU meshes), where pallas interpret
@@ -492,6 +557,15 @@ def _make_stage1_xla(plan: Stage1Plan, device=None):
         return jnp.concatenate(
             [sizes, n[:, None], jnp.zeros((B, 1), jnp.int32)], axis=1)
 
+    if with_anchors:
+        from longtail_tpu.parallel.device_match import bin_mins_from_words
+
+        @jax.jit
+        def bins_fn(rows_u8):
+            words = jax.lax.bitcast_convert_type(
+                rows_u8.reshape(-1, 32, 4), jnp.uint32).reshape(-1)
+            return bin_mins_from_words(words, (B * P) // 4)
+
     def wrapped(rows_u8, lengths):
         import jax
 
@@ -500,6 +574,8 @@ def _make_stage1_xla(plan: Stage1Plan, device=None):
             parts = jax.device_put(parts, device)
         packed = post_fn(resolve_fn(parts, lengths))
         packed.copy_to_host_async()
+        if with_anchors:
+            return packed, bins_fn(rows_u8)
         return packed
 
     return wrapped

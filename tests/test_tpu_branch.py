@@ -238,3 +238,32 @@ def test_pack_kernel_interpret_matches_gather():
         want[: sizes[r]] = flat[starts[r]: starts[r] + sizes[r]]
         got = packed[r].astype("<u4").view(np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=f"row {r}")
+
+
+def test_stage1_fused_bins_match_words_oracle():
+    """The scan kernel's fused anchor bin-mins (interpret mode) must
+    equal device_match.bin_mins_from_words on the same bytes, except
+    the last bin of each tile (its final gram reads across the tile
+    boundary — garbage by design, host-validated)."""
+    from longtail_tpu.parallel.device_match import bin_mins_from_words
+    from longtail_tpu.parallel.stage1 import _make_stage1_pallas
+
+    plan = _tiny_plan()
+    B, P = plan.lanes, plan.part_bytes
+    rng = np.random.default_rng(31)
+    rows = rng.integers(0, 256, (B * P // 128, 128), dtype=np.uint8)
+    lengths = np.full((B,), P, dtype=np.int32)
+    packed, bins = _make_stage1_pallas(plan, with_anchors=True)(
+        rows, lengths)
+    bins = np.asarray(bins).reshape(-1)
+
+    import jax.numpy as jnp
+    words = jnp.asarray(
+        np.ascontiguousarray(rows).view("<u4").reshape(-1))
+    want = np.asarray(bin_mins_from_words(words, B * P // 4))
+    bins_per_tile = plan.tile_bytes // 256
+    keep = (np.arange(len(bins)) % bins_per_tile) != bins_per_tile - 1
+    np.testing.assert_array_equal(bins[keep], want[keep])
+    # and the packed chunk output is unchanged by the fused variant
+    packed2 = np.asarray(_make_stage1_pallas(plan)(rows, lengths))
+    np.testing.assert_array_equal(np.asarray(packed), packed2)
