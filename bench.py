@@ -563,8 +563,9 @@ def bench_downsync(total_bytes: int) -> dict:
                         if ln.startswith("VmRSS"):
                             rss_kb = max(rss_kb, int(ln.split()[1]))
             except FileNotFoundError:
-                break
+                break   # pid vanished between poll() and open()
             time.sleep(0.05)
+        child.wait()    # reap + ensure returncode is set after the break
         if child.returncode != 0:
             raise RuntimeError(f"downsync failed: {child.returncode}")
         dt = time.perf_counter() - t0

@@ -40,6 +40,8 @@ long lt_zstd_sequences(const uint8_t *src, long n,
             if (x) {
 #if defined(__GNUC__) || defined(__clang__)
                 l += (long)(__builtin_ctzll(x) >> 3);
+#else
+                while (src[p + l] == src[r + l]) l++;
 #endif
                 goto scanned;
             }

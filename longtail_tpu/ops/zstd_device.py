@@ -97,8 +97,12 @@ def sequences_from_anchors(src: bytes, apos, aref,
 
 _ZSTD_c_compressionLevel = 100
 _ZSTD_c_windowLog = 101
-_ZSTD_c_blockDelimiters = 1011    # ZSTD_c_experimentalParam11
-_ZSTD_c_validateSequences = 1012  # ZSTD_c_experimentalParam12
+# zstd.h: ZSTD_c_blockDelimiters = experimentalParam11 = 1008,
+# ZSTD_c_validateSequences = experimentalParam12 = 1009.  Validation is
+# the safety net: an invalid sequence set must return an error (we fall
+# back to the host compressor) instead of undefined behavior.
+_ZSTD_c_blockDelimiters = 1008
+_ZSTD_c_validateSequences = 1009
 
 _cctx_local = threading.local()
 _api = None
@@ -179,8 +183,11 @@ def compress_block(src: bytes, level: int = 3) -> bytes:
         return _zstd.compress(src, level)
     import jax
 
-    row_bytes = 1 << 16
-    npad = -(-n // row_bytes) * row_bytes
+    # pow2 size classes bound the compiled-program count (arbitrary
+    # final-block sizes otherwise compile one program each)
+    npad = 1 << 16
+    while npad < n:
+        npad *= 2
     buf = np.zeros(npad, np.uint8)
     buf[:n] = np.frombuffer(src, np.uint8)
     words = jax.device_put(np.frombuffer(buf.tobytes(), "<u4"))

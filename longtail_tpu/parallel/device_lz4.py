@@ -37,7 +37,12 @@ def block_anchors(src: bytes):
     import jax
 
     n = len(src)
-    npad = -(-n // ROW_BYTES) * ROW_BYTES
+    # pow2 row-count classes: one compiled anchor program per class
+    # instead of one per distinct block size (upsyncs produce arbitrary
+    # final-block sizes)
+    npad = ROW_BYTES
+    while npad < n:
+        npad *= 2
     buf = np.zeros(npad, np.uint8)
     buf[:n] = np.frombuffer(src, np.uint8)
     words = jax.device_put(np.frombuffer(buf.tobytes(), "<u4"))

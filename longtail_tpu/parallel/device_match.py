@@ -172,14 +172,20 @@ def make_fast_anchor_fn(n_words: int, block_words: int,
     TPU sort (reference codec seam: lib/zstd/longtail_zstd.c:11-22).
     """
     import jax
+    import jax.numpy as jnp
 
     assert block_words % BIN_WORDS == 0
-    nblk = n_words // block_words
+    # ceil: a trailing partial block is zero-padded, not dropped
+    nblk = max(1, -(-n_words // block_words))
     K = nblk * block_words
     nbins_b = block_words // BIN_WORDS
 
     @jax.jit
     def fn(words):
+        words = words.reshape(-1)
+        if K > words.shape[0]:
+            words = jnp.concatenate(
+                [words, jnp.zeros((K - words.shape[0],), jnp.uint32)])
         m = bin_mins_from_words(words, K)
         return _anchors_from_bin_mins(m, nblk, nbins_b, cap,
                                       max_offset_words,
@@ -303,15 +309,24 @@ def make_bins_anchor_packed_fn(n_bins: int, bins_per_block: int,
     """Anchor extraction straight from precomputed per-bin packed mins
     (the stage-1 scan kernel's fused output): (n_bins,) u32 ->
     (B, 2*cap + 1) i32 single-fetch result.  Skips the whole-stream
-    hash + reduce pass — the bytes were already read by stage 1."""
+    hash + reduce pass — the bytes were already read by stage 1.
+
+    A trailing partial block is padded with no-candidate sentinels (the
+    padding bins can only pair among themselves or produce anchors past
+    the real data, which the host assembler's memcmp rejects) — flooring
+    would silently drop the tail block's anchors entirely."""
     import jax
     import jax.numpy as jnp
 
-    nblk = n_bins // bins_per_block
+    nblk = -(-n_bins // bins_per_block)
 
     @jax.jit
     def fn(bins):
-        m = bins.reshape(-1)[: nblk * bins_per_block]
+        m = bins.reshape(-1)
+        pad = nblk * bins_per_block - m.shape[0]
+        if pad:
+            m = jnp.concatenate(
+                [m, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
         pos, ref, counts = _anchors_from_bin_mins(
             m, nblk, bins_per_block, cap, max_offset_words,
             suppress_sampled_chains)

@@ -188,10 +188,16 @@ def upsync_sharded(source_storage, source_root: str, block_store,
         ca, file_infos, hash_identifier, target_chunk_size)
 
     # deterministic plan, identical on every process; blocks shard by
-    # index and each process uploads its own slice
+    # index and each process uploads its own slice.  The barrier after
+    # the snapshot is load-bearing: without it a fast process starts
+    # writing .lrb files that a slow process's get_existing_content
+    # (rebuild-by-scan on a fresh store) would pick up, giving the two
+    # processes DIFFERENT missing-content plans — and index-sharding
+    # different plans leaves some blocks written by nobody.
     existing = block_store.get_existing_content(version_index.chunk_hashes)
     missing = create_missing_content(
         existing, version_index, target_block_size, max_chunks_per_block)
+    barrier("upsync-plan-snapshot")
     my_blocks = range(pid, missing.block_count, nproc)
     write_content(source_storage, block_store, missing, version_index,
                   source_root, workers=workers,
@@ -206,6 +212,14 @@ def _dryrun_main() -> None:
     __graft_entry__.dryrun_multichip / tests/test_multihost.py).
     Parameters ride environment variables; process 0 writes the .lvi."""
     import os
+
+    import jax
+
+    # force the CPU backend via config: the rig's sitecustomize registers
+    # an accelerator backend at interpreter startup and OVERRIDES the
+    # JAX_PLATFORMS env var (see tests/conftest.py) — two dryrun workers
+    # must not both grab the one real chip
+    jax.config.update("jax_platforms", "cpu")
 
     from longtail_tpu.stores.compressblockstore import CompressBlockStore
     from longtail_tpu.stores.fsblockstore import FSBlockStore

@@ -678,9 +678,11 @@ class DevicePartIndexer:
         results = []
         slots = []     # (rows_idx, offset into the concat) per live slot
         off = 0
+        # empty planned slots still dispatch: the pack kernel skips
+        # all-padding row groups and the hash kernel skips empty tiles,
+        # so the cost is ~zero — while skipping them would change the
+        # concat arity per batch and trigger cold mid-run compiles
         for (cls, r), (bs_d, bz_d), rows in zip(layout, splits, mapping):
-            if len(rows) == 0:
-                continue
             res = make_pack_hash_fn(cls, r, self.hash_kind)(
                 words2d, bs_d, bz_d)  # async, (2, r)
             results.append(res)
