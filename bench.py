@@ -226,8 +226,10 @@ def bench_data_plane(total_bytes: int, target_chunk_size: int,
         return n_chunks, n_bytes, comp_bytes
 
     t0 = time.perf_counter()
-    # steady-state shapes + the rig tunnel's traffic ramp
-    n_chunks, _, _ = run(max(8, n_batches // 3), with_compress)
+    # steady-state shapes + the rig tunnel's traffic ramp (the rig's
+    # throughput climbs with sustained traffic; a short warmup
+    # understates the pipeline by up to ~2x)
+    n_chunks, _, _ = run(max(8, n_batches // 2), with_compress)
     log(f"warmup: {time.perf_counter() - t0:.1f}s ({n_chunks} chunks)")
 
     result = {}
