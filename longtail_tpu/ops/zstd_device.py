@@ -130,7 +130,7 @@ def _zstd_api():
                 ctypes.c_void_p, ctypes.c_ulonglong]
             lib.ZSTD_compressSequences.restype = ctypes.c_size_t
             lib.ZSTD_compressSequences.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_char_p, ctypes.c_size_t]
             lib.ZSTD_isError.restype = ctypes.c_uint
@@ -153,33 +153,48 @@ def compress_sequences(src: bytes, seqs: np.ndarray,
     if cctx is None:
         cctx = lib.ZSTD_createCCtx()
         _cctx_local.cctx = cctx
-    lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_c_compressionLevel, level)
     # our anchors may reference the whole 8 MiB block — wider than
     # level 3's default window
     wlog = max(10, (max(len(src), 1024) - 1).bit_length())
-    lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_c_windowLog, min(wlog, 27))
-    lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_c_blockDelimiters, 0)
-    lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_c_validateSequences, 1)
+    params = [(_ZSTD_c_compressionLevel, level),
+              (_ZSTD_c_windowLog, min(wlog, 27)),
+              (_ZSTD_c_blockDelimiters, 0),
+              (_ZSTD_c_validateSequences, 1)]
+    for p, v in params:
+        if lib.ZSTD_isError(lib.ZSTD_CCtx_setParameter(cctx, p, v)):
+            # a libzstd build that rejects validateSequences would run
+            # compressSequences UNVALIDATED (documented UB on a bad
+            # sequence set) — bail to the host-compress fallback instead
+            return None
     lib.ZSTD_CCtx_setPledgedSrcSize(cctx, len(src))
     seqs = np.ascontiguousarray(seqs, dtype=np.uint32)
     cap = int(lib.ZSTD_compressBound(len(src)))
-    dst = ctypes.create_string_buffer(cap)
-    r = lib.ZSTD_compressSequences(cctx, dst, cap,
+    # np.empty, not create_string_buffer: the latter memsets its whole
+    # allocation (a full extra pass over an 8 MiB block)
+    dst = np.empty(cap, np.uint8)
+    r = lib.ZSTD_compressSequences(cctx, dst.ctypes.data, cap,
                                    seqs.ctypes.data, len(seqs),
                                    src, len(src))
     if lib.ZSTD_isError(r):
         return None
-    return dst.raw[:int(r)]
+    return dst[:int(r)].tobytes()
 
 
 def compress_block(src: bytes, level: int = 3) -> bytes:
     """Full device-assisted path: TPU anchor scan (whole-block window) +
     native sequence walk + libzstd entropy stage.  Falls back to the
     plain host zstd compressor when any stage is unavailable."""
-    from longtail_tpu.parallel.device_match import fast_block_anchors
+    from longtail_tpu.parallel.device_match import (
+        _GPOS_BITS,
+        fast_block_anchors,
+    )
 
     n = len(src)
-    if n < (1 << 16) or _zstd_api() is None:
+    # anchor word positions carry _GPOS_BITS bits (<= 16 MiB blocks): a
+    # larger block would silently wrap positions — correctness survives
+    # (the host walk memcmp-rejects bad anchors) but the ratio collapses,
+    # so oversized blocks take the host compressor instead
+    if n < (1 << 16) or n > (4 << _GPOS_BITS) or _zstd_api() is None:
         return _zstd.compress(src, level)
     import jax
 

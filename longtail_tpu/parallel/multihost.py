@@ -56,9 +56,11 @@ def shard_assets(file_infos, process_id: int, num_processes: int):
     """Deterministic size-balanced shard: chunkable assets sorted by
     size (descending, index tiebreak) and dealt round-robin."""
     sizes = file_infos.sizes.astype(np.int64)
-    chunked = np.flatnonzero(
-        np.array([not p.endswith("/") for p in file_infos.paths])
-        & (sizes > 0))
+    # explicit dtype: np.array([]) of an empty comprehension is float64,
+    # and bitwise-& with a bool array raises on a dirs-only/empty tree
+    is_file = np.fromiter((not p.endswith("/") for p in file_infos.paths),
+                          dtype=bool, count=len(file_infos.paths))
+    chunked = np.flatnonzero(is_file & (sizes > 0))
     order = chunked[np.lexsort((chunked, -sizes[chunked]))]
     return order[process_id::num_processes]
 

@@ -651,9 +651,9 @@ class DevicePartIndexer:
         import jax
 
         plan = self._class_plan
-        layout = []    # (cls, r) per dispatch slot, planned then spills
         blob_parts = []
-        mapping = []   # chunk-row indices per slot
+        mapping = []   # chunk-row indices per planned slot
+        spills = []    # (cls, r, rows) overflow slots, dispatched apart
         for cls, r in plan:
             rows_all = np.flatnonzero(padded == cls)
             head, rest = rows_all[:r], rows_all[r:]
@@ -661,20 +661,15 @@ class DevicePartIndexer:
             bz = np.zeros(r, dtype=np.int32)
             bs[: len(head)] = flat_starts[head]
             bz[: len(head)] = flat_sizes[head]
-            layout.append((cls, r))
             blob_parts += [bs, bz]
             mapping.append(head)
             for off in range(0, len(rest), r):
-                rows = rest[off: off + r]
-                sb = np.zeros(r, dtype=np.int32)
-                sz = np.zeros(r, dtype=np.int32)
-                sb[: len(rows)] = flat_starts[rows]
-                sz[: len(rows)] = flat_sizes[rows]
-                layout.append((cls, r))
-                blob_parts += [sb, sz]
-                mapping.append(rows)
+                spills.append((cls, r, rest[off: off + r]))
         blob = jax.device_put(np.concatenate(blob_parts), self.device)
-        splits = make_split_fn(tuple(layout))(blob)
+        # the blob layout is ALWAYS the class plan — constant split fn and
+        # concat arity, so no batch's chunk-size distribution can trigger
+        # a cold mid-run compile (spill slots go separately below)
+        splits = make_split_fn(plan)(blob)
         results = []
         slots = []     # (rows_idx, offset into the concat) per live slot
         off = 0
@@ -682,17 +677,31 @@ class DevicePartIndexer:
         # all-padding row groups and the hash kernel skips empty tiles,
         # so the cost is ~zero — while skipping them would change the
         # concat arity per batch and trigger cold mid-run compiles
-        for (cls, r), (bs_d, bz_d), rows in zip(layout, splits, mapping):
+        for (cls, r), (bs_d, bz_d), rows in zip(plan, splits, mapping):
             res = make_pack_hash_fn(cls, r, self.hash_kind)(
                 words2d, bs_d, bz_d)  # async, (2, r)
             results.append(res)
             slots.append((rows, off, r))
             off += r
-        if not results:
-            return []
-        allres = make_concat_fn(len(results))(*results)  # (2, off)
-        allres.copy_to_host_async()
-        return [(allres, slots)]
+        buckets = []
+        if results:
+            allres = make_concat_fn(len(results))(*results)  # (2, off)
+            allres.copy_to_host_async()
+            buckets.append((allres, slots))
+        # spill slots: rare (the plan is ~1.4x the expected class load),
+        # so they pay their own upload + fetch rather than perturbing the
+        # fixed-arity fast path; shapes reuse the planned compiles
+        for cls, r, rows in spills:
+            sb = np.zeros(r, dtype=np.int32)
+            sz = np.zeros(r, dtype=np.int32)
+            sb[: len(rows)] = flat_starts[rows]
+            sz[: len(rows)] = flat_sizes[rows]
+            res = make_pack_hash_fn(cls, r, self.hash_kind)(
+                words2d, jax.device_put(sb, self.device),
+                jax.device_put(sz, self.device))
+            res.copy_to_host_async()
+            buckets.append((res, rows))
+        return buckets
 
     def _dispatch_buckets_xla(self, words2d, flat_starts, flat_sizes,
                               padded):
