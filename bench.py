@@ -88,7 +88,8 @@ def structured_rows(base_rows, xp):
 
 
 def bench_data_plane(total_bytes: int, target_chunk_size: int,
-                     with_compress: bool, verify: bool = True) -> dict:
+                     with_compress: bool, verify: bool = True,
+                     batch_mib: int = 256) -> dict:
     """Device data-plane throughput over HBM-resident part batches:
     chunk (CDC scan + walk) + BLAKE3 hash, and optionally + the device
     block-codec anchor scan with host LZ4 assembly (the full
@@ -122,8 +123,12 @@ def bench_data_plane(total_bytes: int, target_chunk_size: int,
     log(f"device: {dev.platform} / {dev.device_kind}")
 
     t0 = time.perf_counter()
+    # 256 MiB batches: the dev rig charges ~1 ms of host overhead per
+    # jit call and a tunnel RTT per sync, so per-batch costs must be
+    # amortized over as many bytes as HBM comfortably holds
     indexer = DevicePartIndexer(target_chunk_size, prewarm=True,
-                                compress=with_compress)
+                                compress=with_compress,
+                                batch_bytes=batch_mib << 20)
     log(f"prewarm (concurrent compile of all programs): "
         f"{time.perf_counter() - t0:.1f}s")
     B, P = indexer.lanes, indexer.part_bytes
@@ -611,6 +616,7 @@ def main() -> None:
                              "mesh_chunk_hash", "compress",
                              "device_compress", "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
+    ap.add_argument("--batch-mib", type=int, default=256)
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the bit-exactness verification phase")
     args = ap.parse_args()
@@ -619,11 +625,13 @@ def main() -> None:
     if args.mode == "chunk_hash_compress":
         result = bench_data_plane(total, args.target_chunk_size,
                                   with_compress=True,
-                                  verify=not args.no_verify)
+                                  verify=not args.no_verify,
+                                  batch_mib=args.batch_mib)
     elif args.mode == "chunk_hash":
         result = bench_data_plane(total, args.target_chunk_size,
                                   with_compress=False,
-                                  verify=not args.no_verify)
+                                  verify=not args.no_verify,
+                                  batch_mib=args.batch_mib)
     elif args.mode == "mesh_chunk_hash":
         result = bench_mesh_chunk_hash(total, args.target_chunk_size)
     elif args.mode == "downsync":

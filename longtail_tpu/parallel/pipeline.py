@@ -163,11 +163,11 @@ def make_gather_hash_xla(padded: int, rows: int, kind: str = "blake3"):
     return fn
 
 
-@functools.lru_cache(maxsize=16)
-def make_pack_fn(padded: int, rows: int):
-    """The Pallas pack kernel alone: (words2d (N2, 128) u32, starts
-    (rows,) i32 byte offsets, sizes (rows,) i32) -> (rows, padded//4) u32
-    packed chunk words (chunk bytes shifted to offset 0, zero past size).
+def _pack_callable(padded: int, rows: int):
+    """The raw (unjitted) Pallas pack-kernel callable, shared by the
+    per-class jits (make_pack_fn / make_pack_hash_fn) and the fused
+    whole-batch stage-3 program (make_stage3_fn): (starts, sizes,
+    words2d) -> (rows, NOUT, L) u32.
 
     Each row issues one 2-D DMA of the (n_rows, 1024)-word window holding
     its chunk — the word stream is viewed as rows of 128 words (512 B) so
@@ -279,8 +279,7 @@ def make_pack_fn(padded: int, rows: int):
         ],
     )
 
-    @jax.jit
-    def fn(words2d, starts, sizes):
+    def call(words2d, starts, sizes):
         packed = pl.pallas_call(
             pack_kernel,
             grid_spec=grid_spec,
@@ -289,7 +288,15 @@ def make_pack_fn(padded: int, rows: int):
         )(starts, sizes, words2d)
         return packed.reshape(rows, NOUT * L)
 
-    return fn
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def make_pack_fn(padded: int, rows: int):
+    """jit of the Pallas pack kernel alone (see _pack_callable)."""
+    import jax
+
+    return jax.jit(_pack_callable(padded, rows))
 
 
 @functools.lru_cache(maxsize=16)
@@ -350,37 +357,66 @@ def class_floor(cfg: ChunkerConfig) -> int:
 
 def class_plan(cfg: ChunkerConfig, batch_bytes: int) -> tuple:
     """Fixed per-batch bucket geometry: ((cls, rows), ...) for every
-    power-of-two size class from class_floor up, with rows sized ~1.4x
-    the *expected* chunk count of that class under the CDC size
-    distribution (P(size > s) ~ exp(-(s - min)/d)), so a typical batch
-    fits each class in its one fixed-shape dispatch.  Overflow spills to
-    extra dispatches of the same shape."""
-    import math
-
+    power-of-two size class from class_floor up.  Every class gets rows
+    for 1.4x the batch's TOTAL expected chunk count (capped by the hard
+    per-class maximum batch_bytes / (cls/2)): real corpora concentrate
+    chunks in whatever class their structure favors (a text-heavy batch
+    cuts ~3/4 of its chunks at the floor class), so share-based
+    provisioning spilled on every batch.  Generous rows are ~free at
+    runtime — the pack kernel skips all-padding row groups and the hash
+    kernel skips empty tiles — and since the fused stage-3 program keeps
+    packed buffers as jit-internal intermediates, they cost peak HBM
+    only while their class executes.  Overflow beyond 1.4x total still
+    spills to same-shape extra dispatches (correctness fallback)."""
     e_total = max(1, batch_bytes // cfg.avg_size)
-    d = float(cfg.discriminator)
-    mn = cfg.min_size
     cap = pow2_cap(cfg.padded_chunk)
     floor = class_floor(cfg)
-
-    def p_gt(s):  # P(chunk size > s)
-        if s >= cfg.max_size:
-            return 0.0
-        return math.exp(-(max(s, mn) - mn) / d)
 
     plan = []
     c = floor
     while c <= cap:
-        share = p_gt(c // 2) - p_gt(c)
-        if c == floor:
-            share = 1.0 - p_gt(c)   # all sub-floor mass folds in
-        if c == cap:
-            share += p_gt(c)        # cap mass
+        # hard max chunks whose padded class is c: sizes > c/2 (for the
+        # floor class: sizes > min_size, its smallest possible member)
+        hard = batch_bytes // max(c // 2, cfg.min_size)
         m = _row_mult(c)
-        rows = max(m, -(-int(1.4 * share * e_total) // m) * m)
+        rows = min(int(1.4 * e_total), max(hard, 1))
+        rows = max(m, -(-rows // m) * m)
         plan.append((c, rows))
         c *= 2
     return tuple(plan)
+
+
+@functools.lru_cache(maxsize=8)
+def make_stage3_fn(layout: tuple, kind: str = "blake3"):
+    """ONE jit for the whole of stage 3: (words2d, blob) -> (2, sum r)
+    u32 hash words.  The blob is the concatenation of each planned
+    class's starts then sizes (make_split_fn layout); inside the program
+    each class slice feeds its Pallas pack kernel + tree-hash kernel and
+    the per-class results concatenate.  Collapses the former split +
+    K pack+hash + concat dispatch chain into a single dispatch — each
+    jit CALL costs ~1 ms of host overhead on the dev rig, which at
+    ~10 dispatches/batch was the pipeline's actual bottleneck.  A bonus:
+    the (large, padded) packed-chunk buffers become jit-internal
+    intermediates, live only while their class executes."""
+    import jax
+    import jax.numpy as jnp
+
+    packs = [(r, _pack_callable(cls, r)) for cls, r in layout]
+    hasher = _words_hasher(kind, device=True)
+
+    @jax.jit
+    def fn(words2d, blob):
+        outs = []
+        o = 0
+        for r, pack in packs:
+            st = blob[o:o + r]
+            sz = blob[o + r:o + 2 * r]
+            o += 2 * r
+            lo, hi = hasher(pack(words2d, st, sz), sz)
+            outs.append(jnp.stack([lo, hi]))
+        return jnp.concatenate(outs, axis=1)
+
+    return fn
 
 
 @functools.lru_cache(maxsize=8)
@@ -477,8 +513,6 @@ class DevicePartIndexer:
             # and the host backend gains nothing from wide batches
             self.lanes = min(self.lanes, 8)
         self.plan = Stage1Plan(self.cfg, self.lanes, self.part_bytes)
-        self._stage1 = make_stage1_fn(self.plan, device,
-                                      with_anchors=compress)
         # in-flight batches per pipeline stage: deep enough that the one
         # synchronous fetch per batch overlaps other batches' dispatches
         self.queue_depth = 3
@@ -486,6 +520,9 @@ class DevicePartIndexer:
         self._floor = class_floor(self.cfg)
         self._slack = self._cap // 4 + 2048
         self._class_plan = class_plan(self.cfg, self.lanes * self.part_bytes)
+        self._stage1 = make_stage1_fn(self.plan, device,
+                                      with_anchors=compress,
+                                      slack_words=self._slack)
         if prewarm:
             self.prewarm()
 
@@ -508,26 +545,16 @@ class DevicePartIndexer:
             lens = jnp.zeros((B,), jnp.int32)
             jax.block_until_ready(self._stage1(rows, lens)[0])
 
-        def warm_pad():
-            rows = jnp.zeros((R, 128), jnp.uint8)
-            jax.block_until_ready(make_pad_words_fn(self._slack)(rows))
+        def warm_stage3():
+            from longtail_tpu.parallel.stage1 import words2d_rows
 
-        def warm_class(cls, rows):
-            n2 = _padded_words_rows(R, self._slack)
+            n2 = words2d_rows(self.plan, self._slack) if self._on_tpu \
+                else _padded_words_rows(R, self._slack)
             w2 = jnp.zeros((n2, 128), jnp.uint32)
-            st = jnp.zeros((rows,), jnp.int32)
-            sz = jnp.zeros((rows,), jnp.int32)
-            jax.block_until_ready(
-                make_pack_hash_fn(cls, rows, self.hash_kind)(w2, st, sz))
-
-        def warm_split():
             n = sum(2 * r for _, r in self._class_plan)
             jax.block_until_ready(
-                make_split_fn(self._class_plan)(
-                    jnp.zeros((n,), jnp.int32))[0][0])
-            jax.block_until_ready(make_concat_fn(len(self._class_plan))(
-                *[jnp.zeros((2, r), jnp.uint32)
-                  for _, r in self._class_plan]))
+                make_stage3_fn(self._class_plan, self.hash_kind)(
+                    w2, jnp.zeros((n,), jnp.int32)))
 
         def warm_anchor_bins():
             from longtail_tpu.parallel.device_match import (
@@ -539,8 +566,7 @@ class DevicePartIndexer:
                 n_bins, (8 << 20) // 256)(
                     jnp.zeros((n_bins,), jnp.uint32)))
 
-        jobs = [warm_stage1, warm_pad, warm_split] + [
-            functools.partial(warm_class, c, r) for c, r in self._class_plan]
+        jobs = [warm_stage1, warm_stage3]
         if self.compress:
             jobs.append(warm_anchor_bins)
         with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
@@ -554,12 +580,10 @@ class DevicePartIndexer:
         started immediately) and return the stage-1 entry.  host_rows
         (same bytes on host) enables cheap lane repair.  With
         compress=True the scan kernel also emits the anchor bin-mins,
-        carried device-resident in the entry."""
-        if self.compress:
-            packed, bins = self._stage1(dev_rows, lengths)  # async
-            return (tags, dev_rows, lengths, packed, host_rows, bins)
-        packed = self._stage1(dev_rows, lengths)  # async
-        return (tags, dev_rows, lengths, packed, host_rows, None)
+        carried device-resident in the entry; the word-row relayout for
+        stage 3 is computed in the scan dispatch either way."""
+        packed, bins, words2d = self._stage1(dev_rows, lengths)  # async
+        return (tags, dev_rows, lengths, packed, host_rows, bins, words2d)
 
     def submit_host(self, batch):
         """Stage 1 from host parts: pack (tag, bytes) pairs into the row
@@ -593,7 +617,8 @@ class DevicePartIndexer:
         and [5]) so a stage-4 consumer (the device block codec,
         parallel/device_match.py) can run on the SAME HBM-resident data
         without a re-upload or a re-read."""
-        tags, dev_rows, lengths, packed_dev, host_rows, bins = entry
+        tags, dev_rows, lengths, packed_dev, host_rows, bins, words2d = \
+            entry
         P = self.part_bytes
         n_lanes = len(tags)
         packed = np.asarray(packed_dev)  # sync point (D2H already running)
@@ -629,7 +654,6 @@ class DevicePartIndexer:
             flat_sizes = np.zeros(0, np.int64)
         padded = _pow2_padded(flat_sizes, self._cap, self._floor) \
             if len(flat_sizes) else flat_sizes
-        words2d = make_pad_words_fn(self._slack)(dev_rows)
         if self._on_tpu:
             buckets = self._dispatch_buckets_tpu(
                 words2d, flat_starts, flat_sizes, padded)
@@ -643,11 +667,11 @@ class DevicePartIndexer:
 
     def _dispatch_buckets_tpu(self, words2d, flat_starts, flat_sizes,
                               padded):
-        """Fixed class plan + same-shape spill slots, one H2D blob
-        upload, device-sliced args, ONE concatenated D2H hash fetch: on
-        the dev rig every numpy-arg upload and every result fetch costs
-        an RTT, so the whole batch's starts/sizes travel in one upload
-        and all bucket hashes come back in one array."""
+        """Fixed class plan, one H2D blob upload, ONE fused stage-3
+        dispatch (split + per-class pack + hash + concat in a single
+        program), ONE concatenated D2H hash fetch: on the dev rig every
+        jit call, numpy-arg upload, and result fetch costs ~1 ms+, so
+        the whole batch rides one of each."""
         import jax
 
         plan = self._class_plan
@@ -666,31 +690,20 @@ class DevicePartIndexer:
             for off in range(0, len(rest), r):
                 spills.append((cls, r, rest[off: off + r]))
         blob = jax.device_put(np.concatenate(blob_parts), self.device)
-        # the blob layout is ALWAYS the class plan — constant split fn and
-        # concat arity, so no batch's chunk-size distribution can trigger
-        # a cold mid-run compile (spill slots go separately below)
-        splits = make_split_fn(plan)(blob)
-        results = []
-        slots = []     # (rows_idx, offset into the concat) per live slot
+        # the blob layout is ALWAYS the class plan — one compiled stage-3
+        # program, so no batch's chunk-size distribution can trigger a
+        # cold mid-run compile (spill slots go separately below)
+        allres = make_stage3_fn(plan, self.hash_kind)(words2d, blob)
+        allres.copy_to_host_async()
+        slots = []     # (rows_idx, offset into the concat) per slot
         off = 0
-        # empty planned slots still dispatch: the pack kernel skips
-        # all-padding row groups and the hash kernel skips empty tiles,
-        # so the cost is ~zero — while skipping them would change the
-        # concat arity per batch and trigger cold mid-run compiles
-        for (cls, r), (bs_d, bz_d), rows in zip(plan, splits, mapping):
-            res = make_pack_hash_fn(cls, r, self.hash_kind)(
-                words2d, bs_d, bz_d)  # async, (2, r)
-            results.append(res)
+        for (cls, r), rows in zip(plan, mapping):
             slots.append((rows, off, r))
             off += r
-        buckets = []
-        if results:
-            allres = make_concat_fn(len(results))(*results)  # (2, off)
-            allres.copy_to_host_async()
-            buckets.append((allres, slots))
-        # spill slots: rare (the plan is ~1.4x the expected class load),
-        # so they pay their own upload + fetch rather than perturbing the
-        # fixed-arity fast path; shapes reuse the planned compiles
+        buckets = [(allres, slots)]
+        # spill slots: rare (every class is provisioned for 1.4x the
+        # batch's TOTAL expected chunks), so they pay their own upload +
+        # dispatch + fetch rather than perturbing the fixed fast path
         for cls, r, rows in spills:
             sb = np.zeros(r, dtype=np.int32)
             sz = np.zeros(r, dtype=np.int32)

@@ -75,7 +75,8 @@ def _shift_back(jnp, pltpu, full, k: int):
 
 
 def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
-                      z: int, with_anchors: bool = False):
+                      z: int, with_anchors: bool = False,
+                      with_words: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -86,48 +87,61 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
     SEG_T = tile_bytes // z          # segments per tile (= _SEG_LANES)
     ZR = z // 128                    # rows per segment
     BINS_T = tile_bytes // 256       # anchor bins per tile (= RT // 2)
+    WR = RT // 4                     # word rows per tile
     tiles_per_part = part_bytes // tile_bytes
     d = np.uint32(cfg.discriminator)
     u32 = jnp.uint32
 
-    def _shift_fwd(full, k: int):
-        """out[r, c] = full[flat(r,c) + k] over the row-major view
-        (1 <= k <= 127).  The last row's wrapped lanes read row 0
-        (garbage — the consumer tolerates a bad last-gram per tile)."""
-        lane = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
-        rl = pltpu.roll(full, 128 - k, axis=1)
-        rn = pltpu.roll(rl, full.shape[0] - 1, axis=0)
-        return jnp.where(lane < 128 - k, rl, rn)
+    def words_from_bytes(xu8):
+        """(RT, 128) u8 -> the flat-row-major little-endian u32 word
+        rows (WR, 128) of the same bytes — the relayout make_pad_words_fn
+        did as a separate XLA pass (12.8 GB/s measured: a u8 reshape+
+        bitcast lowers to a slow lane shuffle).  In-kernel: a VMEM
+        pltpu.bitcast packs byte j of out[r, l] from in[4r + j, l]
+        (sublane-grouped, NOT flat), then four constant-index lane
+        gathers undo the permutation: flat word w = r*128 + l wants
+        bytes 512r + 4l + j = rows 4r + (4l+j)//128, lanes (4l+j)%128 =
+        byte (4l+j)>>7 of W[r, (4l+j)&127]."""
+        W = pltpu.bitcast(xu8, jnp.uint32)          # (WR, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, W.shape, 1)
+        F = jnp.zeros(W.shape, u32)
+        for j in range(4):
+            q = 4 * lane + j
+            g = jnp.take_along_axis(W, q & 127, axis=1)
+            sh = ((q >> 7).astype(u32)) * u32(8)
+            F = F | (((g >> sh) & u32(0xFF)) << u32(8 * j))
+        return F
 
-    def bin_mins(x):
+    def bin_mins(F):
         """Per-256-byte-bin packed argmin of the 8-byte-gram hash —
-        device_match.bin_mins_from_words computed in-tile, so the fast
-        compression tier rides the same byte read as the chunk scan.
-        The last gram of each tile reads across the tile boundary
-        (garbage): the host assembler memcmp-rejects false anchors."""
-        xb = x.astype(u32)
-        sh = [_shift_fwd(xb, k) for k in range(1, 8)]
-        w0 = xb | (sh[0] << u32(8)) | (sh[1] << u32(16)) | \
-            (sh[2] << u32(24))
-        w1 = sh[3] | (sh[4] << u32(8)) | (sh[5] << u32(16)) | \
-            (sh[6] << u32(24))
-        h = (w0 * u32(0x9E3779B1)) ^ ((w1 * u32(0x85EBCA77)) >> u32(13)) \
+        device_match.bin_mins_from_words computed in-tile from the
+        word rows (the fast compression tier rides the same byte read
+        as the chunk scan).  The last gram of each tile reads across
+        the tile boundary (garbage): the host assembler memcmp-rejects
+        false anchors."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, F.shape, 1)
+        rl = pltpu.roll(F, 127, axis=1)
+        rn = pltpu.roll(rl, F.shape[0] - 1, axis=0)
+        w1 = jnp.where(lane < 127, rl, rn)          # next word
+        h = (F * u32(0x9E3779B1)) ^ ((w1 * u32(0x85EBCA77)) >> u32(13)) \
             ^ (w1 << u32(7))
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        word_in_bin = ((jax.lax.rem(row, 2) * 128 + lane) // 4).astype(u32)
-        packed = jnp.where(jax.lax.rem(lane, 4) == 0,
-                           (h & ~u32(63)) | word_in_bin,
-                           u32(0xFFFFFFFF))
+        packed = (h & ~u32(63)) | (lane & 63).astype(u32)
         # mosaic has no unsigned reductions: the sign-flip bijection
-        # makes i32 ordering match u32 ordering
+        # makes i32 ordering match u32 ordering.  A 64-lane-group min
+        # needs a (WR, 128) -> (2*WR, 64) row split mosaic can't shape-
+        # cast; transpose + sublane mins produce the same values with
+        # the tile's bins emitted as [even bins | odd bins] — scan_fn
+        # un-permutes in XLA.
         pi = jax.lax.bitcast_convert_type(
             packed ^ u32(0x80000000), jnp.int32)
-        mi = jnp.min(pi.reshape(BINS_T, 256), axis=1)
+        t = pi.T                                    # (128, WR)
+        even = jnp.min(t[:64], axis=0)              # bin 2r of row r
+        odd = jnp.min(t[64:], axis=0)               # bin 2r + 1
+        mi = jnp.stack([even, odd])                 # (2, WR)
         return jax.lax.bitcast_convert_type(mi, u32) ^ u32(0x80000000)
 
     def kernel(lengths_ref, x_ref, halo_ref, tlo_ref, thi_ref,
-               min1_ref, min2_ref, cnt_ref, *maybe_bins):
+               min1_ref, min2_ref, cnt_ref, *extra_refs):
         i = pl.program_id(0)
         part = i // tiles_per_part
         length = lengths_ref[part]
@@ -136,9 +150,14 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
             [halo_ref[:].astype(jnp.int32), x_ref[:].astype(jnp.int32)],
             axis=0)  # (HR + RT, 128)
 
+        if with_anchors or with_words:
+            F = words_from_bytes(x_ref[:])
+        if with_words:
+            extra_refs[1 if with_anchors else 0][:, :] = F
         if with_anchors:
-            maybe_bins[0][pl.ds(i % 8, 1), :] = \
-                bin_mins(full[HR:, :]).reshape(1, BINS_T)
+            # rows 2t, 2t+1 of the bins output hold tile t's even / odd
+            # bins respectively (scan_fn un-permutes to global bin order)
+            extra_refs[0][pl.ds((i % 8) * 2, 2), :] = bin_mins(F)
 
         # table lookup: two 128-entry lane gathers + select
         idx = full & 127
@@ -182,7 +201,7 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
 
     n_tiles_total = None  # bound at call time
 
-    def build(n_bytes_total: int):
+    def build(n_bytes_total: int, slack_words: int = 0):
         n_tiles = n_bytes_total // tile_bytes
         assert n_tiles % 8 == 0, (n_bytes_total, tile_bytes)
         out_specs = [
@@ -200,10 +219,21 @@ def _make_scan_kernel(cfg: ChunkerConfig, part_bytes: int, tile_bytes: int,
         ]
         if with_anchors:
             out_specs.append(
-                pl.BlockSpec((8, BINS_T), lambda i, *_: (i // 8, 0),
+                pl.BlockSpec((16, WR), lambda i, *_: (i // 8, 0),
                              memory_space=pltpu.VMEM))
             out_shape.append(
-                jax.ShapeDtypeStruct((n_tiles, BINS_T), jnp.uint32))
+                jax.ShapeDtypeStruct((2 * n_tiles, WR), jnp.uint32))
+        if with_words:
+            # trailing slack blocks are never written (garbage): the
+            # pack kernel masks all bytes at/after each chunk's size,
+            # so only in-bounds-ness matters, which allocation provides
+            slack_rows = -(-slack_words // 128)
+            extra = -(-slack_rows // WR)
+            out_specs.append(
+                pl.BlockSpec((WR, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(
+                ((n_tiles + extra) * WR, 128), jnp.uint32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -360,6 +390,16 @@ def _make_walk_kernel(cfg: ChunkerConfig, B: int, part_bytes: int, z: int,
     )
 
 
+def words2d_rows(plan: "Stage1Plan", slack_words: int) -> int:
+    """Row count of the scan kernel's words2d output (TPU path): the
+    real word rows plus >= slack_words of unwritten slack, rounded up to
+    whole word-row blocks."""
+    WR = plan.tile_bytes // 512
+    n_tiles = plan.lanes * plan.part_bytes // plan.tile_bytes
+    slack_rows = -(-slack_words // 128)
+    return (n_tiles + -(-slack_rows // WR)) * WR
+
+
 def sizes_pack_u16(plan: "Stage1Plan") -> bool:
     """True when the packed stage-1 fetch stores (size-1) as u16 pairs."""
     return plan.cfg.max_size <= (1 << 16)
@@ -405,7 +445,7 @@ class Stage1Plan:
 
 @functools.lru_cache(maxsize=32)
 def make_stage1_fn(plan: Stage1Plan, device=None,
-                   with_anchors: bool = False):
+                   with_anchors: bool = False, slack_words: int = 0):
     """jit: (rows (B*P//128, 128) u8 — parts flattened part-major into
     128-byte rows, lengths (B,) i32) -> packed (B, c_pad + 2) i32:
     columns [0, c_pad) = chunk sizes, column c_pad = n_chunks, column
@@ -414,48 +454,75 @@ def make_stage1_fn(plan: Stage1Plan, device=None,
     sizes[b, i] for i < n_chunks[b] are the chunk sizes of part b in
     order; entries past n_chunks are 0.  ambig[b] != 0 means lane b's
     cuts may be wrong (3+ candidates crowded a segment) and the host must
-    re-chunk that lane exactly (see repair_lane)."""
+    re-chunk that lane exactly (see repair_lane).
+
+    The fn returns (packed, bins_or_None, words2d): ``words2d`` is the
+    (R2, 128) u32 word-row relayout of the batch (make_pad_words_fn
+    semantics, ``slack_words`` of zero pad) computed in the SAME dispatch
+    as the scan — stage 3's pack kernels consume it without a separate
+    pad call (each jit call costs ~1 ms of host dispatch overhead on the
+    dev rig, the pipeline's actual bottleneck)."""
     import jax
 
     if jax.default_backend() != "tpu":
-        return _make_stage1_xla(plan, device, with_anchors)
+        return _make_stage1_xla(plan, device, with_anchors, slack_words)
     # the pallas path follows its committed inputs' placement
-    return _make_stage1_pallas(plan, with_anchors)
+    return _make_stage1_pallas(plan, with_anchors, slack_words)
 
 
-def _make_stage1_pallas(plan: Stage1Plan, with_anchors: bool = False):
+def _make_stage1_pallas(plan: Stage1Plan, with_anchors: bool = False,
+                        slack_words: int = 0):
     """The Pallas scan+walk stage-1 path.  Off-TPU the kernels run in
     interpret mode — slow, but exact: tests use this to pin the kernels
     against the XLA oracle without a chip.
 
     with_anchors=True adds a fourth scan-kernel output — the per-256-byte
     -bin packed gram-hash argmins the fast compression tier consumes
-    (device_match.bin_mins_from_words fused into the byte pass) — and
-    the returned fn yields (packed, bins) instead of packed."""
+    (device_match.bin_mins_from_words fused into the byte pass)."""
     import jax
     import jax.numpy as jnp
 
     cfg, B, P = plan.cfg, plan.lanes, plan.part_bytes
     z, tile = plan.z, plan.tile_bytes
     Sp = P // z
-    scan_kernel = _make_scan_kernel(cfg, P, tile, z, with_anchors)(B * P)
+    scan_kernel = _make_scan_kernel(cfg, P, tile, z, with_anchors,
+                                    with_words=True)(B * P, slack_words)
     walk = _make_walk_kernel(cfg, B, P, z, plan.c_pad)
     tlo = jnp.asarray(HASH_TABLE[:128][None, :])
     thi = jnp.asarray(HASH_TABLE[128:][None, :])
 
-    # Three separately-jitted stages: one fused program makes XLA chew on
-    # the pallas-call + scan + reshape graph for minutes (measured 193 s vs
-    # ~12 s split); the extra dispatches are microseconds.  The input is
-    # the canonical (B*P//128, 128) row layout — reshaping a (B, P) u8
-    # array inside XLA costs 139 s of *compile* time on this toolchain, so
-    # hosts pack rows before device_put and device code never reshapes u8.
+    # Two jitted stages (scan+pad, then suffix+walk+post): each jit CALL
+    # costs ~1 ms of host overhead on the dev rig, so stage 1 rides two
+    # dispatches.  Fusing the scan pallas-call together with the walk's
+    # associative-scan + reshape graph is where the remote toolchain's
+    # compile time explodes (measured 193 s vs ~12 s split in round 2),
+    # so the split is scan | walk, not all-in-one.  The input is the
+    # canonical (B*P//128, 128) row layout — reshaping a (B, P) u8
+    # array inside XLA costs 139 s of *compile* time on this toolchain,
+    # so hosts pack rows before device_put and device code never
+    # reshapes u8 (the pad below keeps the flat byte order: (R, 128) u8
+    # rows -> (R, 32, 4) -> bitcast u32 -> (R//4, 128) word rows).
     @jax.jit
     def scan_fn(rows_u8, lengths):
-        return scan_kernel(lengths.astype(jnp.int32), rows_u8, rows_u8,
-                           tlo, thi)
+        # the scan kernel emits the word-row relayout (words_from_bytes)
+        # as its last output — no separate pad/bitcast pass
+        outs = list(scan_kernel(lengths.astype(jnp.int32), rows_u8,
+                                rows_u8, tlo, thi))
+        if with_anchors:
+            # un-permute the kernel's per-tile (even row, odd row) bin
+            # layout back to global bin order (see bin_mins)
+            b = outs[3]                       # (2 * n_tiles, WR)
+            T2, WRr = b.shape
+            outs[3] = b.reshape(T2 // 2, 2, WRr).transpose(0, 2, 1) \
+                .reshape(T2 // 2, 2 * WRr)
+        return tuple(outs)
+
+    # sizes ride the (slow, per-byte-charged) D2H path as packed u16 pairs
+    # when the geometry allows: entry i < n stores (size-1) in 16 bits
+    u16_ok = sizes_pack_u16(plan)
 
     @jax.jit
-    def suf_fn(min1, min2, cnt, lengths):
+    def walk_fn(min1, min2, cnt, lengths):
         # (n_tiles, SEG_T) -> (B, Sp) -> per-part suffix-min of min1 over
         # *later* segments (exclusive)
         m1p = min1.reshape(B, Sp)
@@ -463,18 +530,10 @@ def _make_stage1_pallas(plan: Stage1Plan, with_anchors: bool = False):
             jnp.minimum, m1p, reverse=True, axis=1)
         suf = jnp.concatenate(
             [suf[:, 1:], jnp.full((B, 1), _BIG, jnp.int32)], axis=1)
-        return (lengths.astype(jnp.int32).reshape(B, 1),
-                m1p.reshape(-1, 128), min2.reshape(-1, 128),
-                cnt.reshape(-1, 128), suf.reshape(-1, 128))
-
-    walk_fn = jax.jit(walk)
-
-    # sizes ride the (slow, per-byte-charged) D2H path as packed u16 pairs
-    # when the geometry allows: entry i < n stores (size-1) in 16 bits
-    u16_ok = sizes_pack_u16(plan)
-
-    @jax.jit
-    def post_fn(ends128, flags):
+        ends128, flags = walk(
+            lengths.astype(jnp.int32).reshape(B, 1),
+            m1p.reshape(-1, 128), min2.reshape(-1, 128),
+            cnt.reshape(-1, 128), suf.reshape(-1, 128))
         # single packed i32 output: sizes | n | amb — one device->host
         # fetch per batch (the dev tunnel charges per RTT and per byte)
         ends = ends128[:, :B].T                      # (B, c_pad)
@@ -492,27 +551,21 @@ def _make_stage1_pallas(plan: Stage1Plan, with_anchors: bool = False):
         return jnp.concatenate(
             [sizes, n[:, None], amb[:, None]], axis=1)
 
-    if with_anchors:
-        def fn(rows_u8, lengths):
-            min1, min2, cnt, bins = scan_fn(rows_u8, lengths)
-            ends128, flags = walk_fn(*suf_fn(min1, min2, cnt, lengths))
-            packed = post_fn(ends128, flags)
-            packed.copy_to_host_async()
-            return packed, bins
-        return fn
-
     def fn(rows_u8, lengths):
-        min1, min2, cnt = scan_fn(rows_u8, lengths)
-        ends128, flags = walk_fn(*suf_fn(min1, min2, cnt, lengths))
-        packed = post_fn(ends128, flags)
+        outs = scan_fn(rows_u8, lengths)
+        if with_anchors:
+            min1, min2, cnt, bins, words2d = outs
+        else:
+            (min1, min2, cnt, words2d), bins = outs, None
+        packed = walk_fn(min1, min2, cnt, lengths)
         packed.copy_to_host_async()
-        return packed
+        return packed, bins, words2d
 
     return fn
 
 
 def _make_stage1_xla(plan: Stage1Plan, device=None,
-                     with_anchors: bool = False):
+                     with_anchors: bool = False, slack_words: int = 0):
     """Pure-XLA stage 1 with the same contract as the pallas path: the
     round-2 candidate_mask + resolve_ends formulation (device_chunker.py).
     Used on non-TPU backends (tests, CPU meshes), where pallas interpret
@@ -569,14 +622,16 @@ def _make_stage1_xla(plan: Stage1Plan, device=None,
     def wrapped(rows_u8, lengths):
         import jax
 
+        from longtail_tpu.parallel.pipeline import make_pad_words_fn
+
         parts = np.asarray(rows_u8).reshape(B, P)
         if device is not None:
             parts = jax.device_put(parts, device)
         packed = post_fn(resolve_fn(parts, lengths))
         packed.copy_to_host_async()
-        if with_anchors:
-            return packed, bins_fn(rows_u8)
-        return packed
+        words2d = make_pad_words_fn(slack_words)(rows_u8)
+        bins = bins_fn(rows_u8) if with_anchors else None
+        return packed, bins, words2d
 
     return wrapped
 

@@ -87,6 +87,19 @@ def _fake_concat(n):
     return f
 
 
+def _fake_stage3(layout, kind="blake3"):
+    """Mirror of make_stage3_fn's blob contract: (words2d, blob) ->
+    (2, sum r) with row 0 = starts, row 1 = sizes per slot."""
+    def f(words2d, blob):
+        blob = np.asarray(blob)
+        outs, o = [], 0
+        for _, r in layout:
+            outs.append(np.stack([blob[o:o + r], blob[o + r:o + 2 * r]]))
+            o += 2 * r
+        return _FakeRes(np.concatenate(outs, axis=1))
+    return f
+
+
 def _bucket_rows(buckets):
     """Flatten either bucket format to (hash_arr_2xr, rows) pairs."""
     out = []
@@ -106,8 +119,7 @@ def test_dispatch_buckets_tpu_covers_all_chunks(monkeypatch, target):
     (planned slot or spill), with its own (start, size) — run with numpy
     fakes replacing the device calls."""
     monkeypatch.setattr(pl_mod, "make_pack_hash_fn", _fake_pack_hash)
-    monkeypatch.setattr(pl_mod, "make_split_fn", _fake_split)
-    monkeypatch.setattr(pl_mod, "make_concat_fn", _fake_concat)
+    monkeypatch.setattr(pl_mod, "make_stage3_fn", _fake_stage3)
     indexer = DevicePartIndexer(target, lanes=1)
     cfg = indexer.cfg
     rng = np.random.default_rng(5)
@@ -144,8 +156,7 @@ def test_retire_assembles_bucket_hashes(monkeypatch):
     """retire() must place every bucket's hashes at the right chunk index
     and yield per-part slices in submission order."""
     monkeypatch.setattr(pl_mod, "make_pack_hash_fn", _fake_pack_hash)
-    monkeypatch.setattr(pl_mod, "make_split_fn", _fake_split)
-    monkeypatch.setattr(pl_mod, "make_concat_fn", _fake_concat)
+    monkeypatch.setattr(pl_mod, "make_stage3_fn", _fake_stage3)
     indexer = DevicePartIndexer(1024, lanes=1)
 
     counts = np.array([3, 2], dtype=np.int64)
@@ -194,8 +205,8 @@ def test_stage1_pallas_interpret_matches_xla_oracle():
     for b, ln in enumerate(lengths):           # zero past each length
         flat[b * P + ln: (b + 1) * P] = 0
 
-    packed_p = np.asarray(_make_stage1_pallas(plan)(rows, lengths))
-    packed_x = np.asarray(_make_stage1_xla(plan)(rows, lengths))
+    packed_p = np.asarray(_make_stage1_pallas(plan)(rows, lengths)[0])
+    packed_x = np.asarray(_make_stage1_xla(plan)(rows, lengths)[0])
     sz_p, n_p, amb_p = unpack_stage1(packed_p, plan)
     sz_x, n_x, _ = unpack_stage1(packed_x, plan)
     for b in range(B):
@@ -253,7 +264,7 @@ def test_stage1_fused_bins_match_words_oracle():
     rng = np.random.default_rng(31)
     rows = rng.integers(0, 256, (B * P // 128, 128), dtype=np.uint8)
     lengths = np.full((B,), P, dtype=np.int32)
-    packed, bins = _make_stage1_pallas(plan, with_anchors=True)(
+    packed, bins, _ = _make_stage1_pallas(plan, with_anchors=True)(
         rows, lengths)
     bins = np.asarray(bins).reshape(-1)
 
@@ -265,5 +276,31 @@ def test_stage1_fused_bins_match_words_oracle():
     keep = (np.arange(len(bins)) % bins_per_tile) != bins_per_tile - 1
     np.testing.assert_array_equal(bins[keep], want[keep])
     # and the packed chunk output is unchanged by the fused variant
-    packed2 = np.asarray(_make_stage1_pallas(plan)(rows, lengths))
+    packed2 = np.asarray(_make_stage1_pallas(plan)(rows, lengths)[0])
     np.testing.assert_array_equal(np.asarray(packed), packed2)
+
+
+def test_stage1_words_output_is_flat_relayout():
+    """The scan kernel's fused words2d output (interpret mode) must be
+    exactly the flat row-major little-endian u32 relayout of the byte
+    rows (make_pad_words_fn semantics) over the real rows, with >= the
+    requested slack rows appended."""
+    from longtail_tpu.parallel.stage1 import (
+        _make_stage1_pallas,
+        words2d_rows,
+    )
+
+    plan = _tiny_plan()
+    B, P = plan.lanes, plan.part_bytes
+    rng = np.random.default_rng(41)
+    rows = rng.integers(0, 256, (B * P // 128, 128), dtype=np.uint8)
+    lengths = np.full((B,), P, dtype=np.int32)
+    slack = 4096
+    _, _, words2d = _make_stage1_pallas(plan, slack_words=slack)(
+        rows, lengths)
+    words2d = np.asarray(words2d)
+    want = rows.reshape(-1).view("<u4").reshape(-1, 128)
+    real = want.shape[0]
+    assert words2d.shape == (words2d_rows(plan, slack), 128)
+    assert words2d.shape[0] >= real + slack // 128
+    np.testing.assert_array_equal(words2d[:real], want)

@@ -25,10 +25,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 
-from longtail_tpu.parallel.pipeline import (
-    DevicePartIndexer,
-    make_pad_words_fn,
-)
+from longtail_tpu.parallel.pipeline import DevicePartIndexer
 from bench import structured_rows
 
 
@@ -88,33 +85,14 @@ def main():
     # stage-1 internals (pallas path only)
     from longtail_tpu.parallel import stage1 as s1
     plan = indexer.plan
-    scan_kernel = s1._make_scan_kernel(
-        plan.cfg, P, plan.tile_bytes, plan.z, args.compress)(B * P)
-    tlo = jnp.asarray(s1.HASH_TABLE[:128][None, :])
-    thi = jnp.asarray(s1.HASH_TABLE[128:][None, :])
-
-    @jax.jit
-    def scan_fn(rows_u8, lens):
-        return scan_kernel(lens.astype(jnp.int32), rows_u8, rows_u8, tlo, thi)
-
-    out0 = scan_fn(batch, lengths_dev)
-    timeit("scan kernel", lambda i: scan_fn(
-        perturb(batch, jnp.uint8(i % 255 + 1)), lengths_dev)[0])
 
     full_s1 = indexer._stage1
-    if args.compress:
-        timeit("stage1 full (scan+walk+post)", lambda i: full_s1(
-            perturb(batch, jnp.uint8(i % 255 + 1)), lengths_dev)[0])
-    else:
-        timeit("stage1 full (scan+walk+post)", lambda i: full_s1(
-            perturb(batch, jnp.uint8(i % 255 + 1)), lengths_dev))
-
-    pad = make_pad_words_fn(indexer._slack)
-    timeit("pad_words", lambda i: pad(perturb(batch, jnp.uint8(i % 255 + 1))))
+    timeit("stage1 (scan+pad | walk)", lambda i: full_s1(
+        perturb(batch, jnp.uint8(i % 255 + 1)), lengths_dev)[0])
 
     # pack+hash on realistic chunk geometry: use one real batch's plan
     entry = indexer.submit([None] * B, batch, lengths, host_rows=None)
-    tags, dev_rows, lens_, packed_dev, _, bins = entry
+    tags, dev_rows, lens_, packed_dev, _, bins, words2d = entry
     packed = np.asarray(packed_dev)
     sizes, counts, amb = s1.unpack_stage1(packed, plan)
     all_starts, all_sizes = [], []
@@ -128,16 +106,15 @@ def main():
     flat_sizes = np.concatenate(all_sizes)
     from longtail_tpu.parallel.pipeline import _pow2_padded
     padded = _pow2_padded(flat_sizes, indexer._cap, indexer._floor)
-    words2d = pad(batch)
     log(f"chunks: {len(flat_sizes)}  classes: "
         f"{[(c, int((padded == c).sum())) for c, _ in indexer._class_plan]}")
 
     def pack_all(i):
-        w2 = pad(perturb(batch, jnp.uint8(i % 255 + 1)))
-        bl = indexer._dispatch_buckets_tpu(w2, flat_starts, flat_sizes, padded)
+        bl = indexer._dispatch_buckets_tpu(
+            words2d, flat_starts, flat_sizes, padded)
         return bl[0][0]
 
-    timeit("pad+split+pack+hash+concat", pack_all)
+    timeit("blob+fused stage3", pack_all)
 
     # host plan_hash (includes the sync)
     def s2(i):
