@@ -38,13 +38,54 @@ class CacheBlockStore(BlockStoreBase):
         self.local.put_stored_block(stored_block)
 
     def preflight_get(self, block_hashes) -> None:
-        self.remote.preflight_get(block_hashes)
+        # warm both tiers: local hits skip the remote fetch entirely,
+        # and the remote hint lets a slow backend begin staging
+        # (reference forwards the preflight through the chain,
+        # lib/cacheblockstore/longtail_cacheblockstore.c:614-668)
+        # preflight is a staging HINT: a failing tier must not kill the
+        # operation (the reads themselves handle fallback)
+        try:
+            self.local.preflight_get(block_hashes)
+        except Exception:
+            pass
+        try:
+            self.remote.preflight_get(block_hashes)
+        except Exception:
+            pass
 
     def get_existing_content(self, chunk_hashes: np.ndarray,
                              min_block_usage_percent: int = 0):
+        """Two-tier planning coverage: remote blocks take precedence,
+        then chunks the remote cannot supply are completed from the
+        LOCAL cache (reference
+        lib/cacheblockstore/longtail_cacheblockstore.c:671-760) — a
+        populated local tier contributes blocks the remote lacks, and
+        an offline remote degrades to local-only planning instead of
+        killing the downsync."""
+        from longtail_tpu.core.store_algebra import merge_store_index
+
         self.stats.bump("get_existing_content_count")
-        return self.remote.get_existing_content(
-            chunk_hashes, min_block_usage_percent)
+        chunk_hashes = np.asarray(chunk_hashes, dtype=np.uint64)
+        try:
+            remote_idx = self.remote.get_existing_content(
+                chunk_hashes, min_block_usage_percent)
+        except Exception:
+            return self.local.get_existing_content(
+                chunk_hashes, min_block_usage_percent)
+        covered = np.isin(chunk_hashes,
+                          np.asarray(remote_idx.chunk_hashes,
+                                     dtype=np.uint64))
+        missing = chunk_hashes[~covered]
+        if len(missing) == 0:
+            return remote_idx
+        try:
+            local_idx = self.local.get_existing_content(missing, 0)
+        except Exception:
+            return remote_idx
+        if local_idx.block_count == 0:
+            return remote_idx
+        # remote precedence for blocks present in both tiers
+        return merge_store_index(remote_idx, local_idx)
 
     def prune_blocks(self, keep_block_hashes) -> int:
         return self.remote.prune_blocks(keep_block_hashes)

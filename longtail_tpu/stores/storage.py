@@ -122,9 +122,12 @@ class FSStorage:
 
     def write(self, path: str, data: bytes, offset: int = 0) -> None:
         p = self._p(path)
-        mode = "r+b" if offset and os.path.exists(p) else ("r+b" if offset else "wb")
         if offset:
-            with open(p, "r+b") as f:
+            # a nonexistent target is created and zero-extended to the
+            # offset (matching MemStorage and the reference filestorage's
+            # OpenWriteFile(0)+Write-at-offset semantics) — "r+b" alone
+            # would raise on a file the caller hasn't pre-created
+            with open(p, "r+b" if os.path.exists(p) else "w+b") as f:
                 f.seek(offset)
                 f.write(data)
         else:
@@ -266,7 +269,10 @@ class MemStorage:
                 self._entries[key] = e
             if e.data is None:
                 _raise(errno.EISDIR, path)
-            if offset == 0 and len(e.data) and offset + len(data) >= len(e.data):
+            if offset == 0:
+                # whole-file replace, matching FSStorage's "wb" truncate
+                # (positional writes that must preserve existing bytes go
+                # through offset > 0 or write_ranges)
                 e.data = bytearray(data)
                 return
             if offset + len(data) > len(e.data):
@@ -356,12 +362,33 @@ class MemStorage:
             del self._entries[key]
 
     def rename(self, src: str, dst: str) -> None:
+        # POSIX-faithful (this class is the primary test fake — its
+        # fidelity is the e2e suite's ceiling): renaming a directory
+        # moves its children; a file may replace an existing file but
+        # not a directory; a directory may only replace an empty one
         with self._lock:
             skey, dkey = self._norm(src), self._norm(dst)
-            e = self._entries.pop(skey, None)
+            e = self._entries.get(skey)
             if e is None:
                 _raise(errno.ENOENT, src)
-            self._entries[dkey] = e
+            d = self._entries.get(dkey)
+            is_dir = e.data is None
+            if d is not None and skey != dkey:
+                if is_dir:
+                    if d.data is not None:
+                        _raise(errno.ENOTDIR, dst)
+                    if any(k.startswith(dkey + "/") for k in self._entries):
+                        _raise(errno.ENOTEMPTY, dst)
+                    del self._entries[dkey]
+                elif d.data is None:
+                    _raise(errno.EISDIR, dst)
+            self._entries[dkey] = self._entries.pop(skey)
+            if is_dir:
+                prefix = skey + "/"
+                moved = [k for k in self._entries if k.startswith(prefix)]
+                for k in moved:
+                    self._entries[dkey + "/" + k[len(prefix):]] = \
+                        self._entries.pop(k)
 
     def list_dir(self, path: str) -> list[str]:
         with self._lock:
