@@ -495,6 +495,70 @@ def bench_device_compress(total_bytes: int) -> dict:
     }
 
 
+def bench_device_decode(total_bytes: int) -> dict:
+    """The decode-side experiment on the record: batched LZ4 decode on
+    the TPU (parse + interval expansion + pointer-jump gathers,
+    parallel/device_decode.py) vs the host scalar decoder, bit-exact
+    both ways.  The honest finding this mode documents: decode is
+    random-access bound, and the chip's gather rate caps device decode
+    below one host core — which is WHY the production downsync keeps
+    decode host-side while the TPU owns the encode-side scan."""
+    import jax
+
+    from longtail_tpu.ops import lz4
+    from longtail_tpu.parallel.device_decode import (
+        decode_block_device,
+        make_resolve_fn,
+        parse_sequences,
+    )
+
+    block = 4 << 20
+    n_blocks = max(4, min(16, total_bytes // block))
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 256, 24 << 10, np.uint8).tobytes()
+    text = (b"the quick brown fox jumps over the lazy dog; "
+            b"pack my box with five dozen liquor jugs. ") * 6000
+    blocks = []
+    for i in range(n_blocks):
+        noise = rng.integers(0, 256, block // 4, np.uint8).tobytes()
+        raw = ((text + bytes(1 << 18) + tile * 20 + noise)
+               * 4)[:block]
+        blocks.append((raw, lz4.compress(raw)))
+    log(f"device-decode workload: {n_blocks} x {block >> 20} MiB blocks "
+        f"(ratio {sum(len(r) for r, _ in blocks) / sum(len(c) for _, c in blocks):.2f}x)")
+
+    # warm compiles + verify bit-exactness on every block
+    for raw, comp in blocks[:2]:
+        assert decode_block_device(comp, len(raw)) == raw
+
+    t0 = time.perf_counter()
+    for raw, comp in blocks:
+        out = decode_block_device(comp, len(raw))
+        assert len(out) == len(raw)
+    dev_dt = time.perf_counter() - t0
+    dev_gbps = n_blocks * block / dev_dt / 1e9
+
+    t0 = time.perf_counter()
+    dst = np.empty(block, np.uint8)
+    for raw, comp in blocks:
+        lz4.decompress_into(comp, dst)
+    host_dt = time.perf_counter() - t0
+    host_gbps = n_blocks * block / host_dt / 1e9
+    for raw, comp in blocks:
+        assert decode_block_device(comp, len(raw)) == raw
+    log(f"device decode: {dev_gbps:.3f} GB/s; host decode: "
+        f"{host_gbps:.3f} GB/s/core (both bit-exact)")
+    return {
+        "metric": "device_lz4_decode_throughput",
+        "value": round(dev_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(dev_gbps / BASELINE_GBPS, 3),
+        "host_decode_gbps_per_core": round(host_gbps, 3),
+        "note": "capability experiment: gather-rate-bound; production "
+                "downsync keeps decode host-side by measurement",
+    }
+
+
 def bench_compress(total_bytes: int) -> dict:
     """Host block-codec throughput (compress+decompress verify), LZ4 path."""
     from longtail_tpu.ops import lz4
@@ -549,7 +613,7 @@ def bench_downsync(total_bytes: int) -> dict:
         t0 = time.perf_counter()
         vi, _ = api.upsync(
             st, src, store,
-            compression_tag=C.COMPRESSION_TYPE_ZSTD_DEFAULT, workers=16)
+            compression_tag=C.COMPRESSION_TYPE_ZSTD_DEFAULT, workers=8)
         up_dt = time.perf_counter() - t0
         lvi = os.path.join(base, "v.lvi")
         with open(lvi, "wb") as f:
@@ -563,7 +627,7 @@ def bench_downsync(total_bytes: int) -> dict:
         out = os.path.join(base, "out")
         t0 = time.perf_counter()
         child = subprocess.Popen(
-            [sys.executable, "-m", "longtail_tpu.cli", "--workers", "16",
+            [sys.executable, "-m", "longtail_tpu.cli", "--workers", "8",
              "downsync",
              "--storage-uri", os.path.join(base, "store"),
              "--source-path", lvi, "--target-path", out],
@@ -614,7 +678,8 @@ def main() -> None:
     ap.add_argument("--mode", default="chunk_hash_compress",
                     choices=["chunk_hash_compress", "chunk_hash",
                              "mesh_chunk_hash", "compress",
-                             "device_compress", "downsync"])
+                             "device_compress", "device_decode",
+                             "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
     ap.add_argument("--batch-mib", type=int, default=256)
     ap.add_argument("--no-verify", action="store_true",
@@ -638,6 +703,8 @@ def main() -> None:
         result = bench_downsync(total)
     elif args.mode == "device_compress":
         result = bench_device_compress(total)
+    elif args.mode == "device_decode":
+        result = bench_device_decode(total)
     else:
         result = bench_compress(total)
     print(json.dumps(result), flush=True)

@@ -31,6 +31,10 @@ class Lz4Codec:
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
         return lz4.decompress(data, raw_size)
 
+    def decompress_into(self, tag: int, data, out) -> None:
+        """Zero-extra-copy decode into a caller buffer (downsync path)."""
+        lz4.decompress_into(data, out)
+
 
 class ZstdCodec:
     """Quality tiers mirror the reference's min/default/max/high/low
@@ -65,6 +69,11 @@ class ZstdCodec:
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
         from longtail_tpu.ops import zstd
         return zstd.decompress(data, raw_size)
+
+    def decompress_into(self, tag: int, data, out) -> None:
+        """Zero-extra-copy decode into a caller buffer (downsync path)."""
+        from longtail_tpu.ops import zstd
+        zstd.decompress_into(data, out)
 
 
 _CODECS: dict[int, object] = {}

@@ -147,7 +147,7 @@ def _native():
                 ctypes.c_void_p, ctypes.c_size_t]
             lib.lt_lz4_decompress.restype = ctypes.c_long
             lib.lt_lz4_decompress.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_size_t]
         _lib = lib
     return _lib
@@ -169,19 +169,25 @@ def compress(src: bytes) -> bytes:
     return dst[:r].tobytes()
 
 
-def decompress_into(src: bytes, dst) -> int:
-    """Decompress into a caller-provided writable uint8 ndarray sized to
-    the exact raw length; returns that length.  Skips the memset + copy-
-    out of the bytes API (the downsync decode hot path)."""
+def decompress_into(src, dst) -> int:
+    """Decompress a bytes-like ``src`` (bytes / memoryview / ndarray —
+    no copy) into a caller-provided writable uint8 ndarray sized to the
+    exact raw length; returns that length.  Skips the memset + copy-out
+    of the bytes API (the downsync decode hot path)."""
     import numpy as np
 
     lib = _native()
     n = len(dst)
     if lib is None:
-        out = _py_decompress(src, n)
+        out = _py_decompress(bytes(src), n)
         dst[:] = np.frombuffer(out, np.uint8)
         return n
-    r = lib.lt_lz4_decompress(src, len(src), dst.ctypes.data, n)
+    if not isinstance(src, bytes):
+        src = np.frombuffer(src, np.uint8)
+        sp, sn = src.ctypes.data, len(src)
+    else:
+        sp, sn = src, len(src)
+    r = lib.lt_lz4_decompress(sp, sn, dst.ctypes.data, n)
     if r != n:
         raise ValueError(f"lz4: decompressed {r} != expected {n}")
     return n

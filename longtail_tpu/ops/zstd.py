@@ -29,7 +29,7 @@ class _SystemZstd:
         lib.ZSTD_decompress.restype = ctypes.c_size_t
         lib.ZSTD_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t,
-            ctypes.c_char_p, ctypes.c_size_t]
+            ctypes.c_void_p, ctypes.c_size_t]
         lib.ZSTD_isError.restype = ctypes.c_uint
         lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
         self._lib = lib
@@ -80,23 +80,28 @@ def compress(data: bytes, level: int = 3) -> bytes:
     return zstd_frame.compress(data, level)
 
 
-def decompress_into(data: bytes, dst) -> int:
-    """Decompress into a caller-provided writable uint8 ndarray sized to
-    the exact raw length; returns that length (downsync hot path — skips
+def decompress_into(data, dst) -> int:
+    """Decompress a bytes-like ``data`` (bytes / memoryview / ndarray —
+    no copy) into a caller-provided writable uint8 ndarray sized to the
+    exact raw length; returns that length (downsync hot path — skips
     the memset + copy-out of the bytes API)."""
     import numpy as np
 
     raw_size = len(dst)
     lib = _load_native()
     if lib is not None:
-        n = lib.lt_zstd_decompress(data, len(data), dst.ctypes.data,
-                                   raw_size)
+        if not isinstance(data, bytes):
+            arr = np.frombuffer(data, np.uint8)
+            sp, sn = arr.ctypes.data, len(arr)
+        else:
+            sp, sn = data, len(data)
+        n = lib.lt_zstd_decompress(sp, sn, dst.ctypes.data, raw_size)
         if n == raw_size:
             return n
         if n >= 0:
             raise zstd_frame.ZstdError(
                 f"native zstd produced {n} bytes, expected {raw_size}")
-    out = zstd_frame.decompress(data, raw_size)
+    out = zstd_frame.decompress(bytes(data), raw_size)
     dst[:] = np.frombuffer(out, np.uint8)
     return raw_size
 

@@ -33,14 +33,28 @@ def compress_block(stored_block: StoredBlock) -> StoredBlock:
         block_data=_HDR.pack(len(raw), len(comp)) + comp)
 
 
-def decompress_block(stored_block: StoredBlock) -> StoredBlock:
+def decompress_block(stored_block: StoredBlock,
+                     as_array: bool = False) -> StoredBlock:
+    """as_array=True returns the raw payload as a uint8 ndarray decoded
+    with the codec's _into entry — no header-slice copy, no memset, no
+    copy-out (three full-block passes saved on the downsync hot loop,
+    reference hot loop longtail_compressblockstore.c:150-176).  Callers
+    on that path (core/change.py) only take memoryview range slices."""
     tag = stored_block.block_index.tag
     if tag == 0 or tag not in supported_tags():
         return stored_block
     raw_size, comp_size = _HDR.unpack_from(stored_block.block_data, 0)
     codec = get_codec(tag)
-    payload = stored_block.block_data[_HDR.size:_HDR.size + comp_size]
-    raw = codec.decompress(tag, payload, raw_size)
+    into = getattr(codec, "decompress_into", None) if as_array else None
+    payload = memoryview(stored_block.block_data)[
+        _HDR.size:_HDR.size + comp_size]
+    if into is not None:
+        import numpy as np
+
+        raw = np.empty(raw_size, np.uint8)
+        into(tag, payload, raw)
+    else:
+        raw = codec.decompress(tag, bytes(payload), raw_size)
     return StoredBlock(block_index=stored_block.block_index, block_data=raw)
 
 
@@ -64,7 +78,8 @@ class CompressBlockStore(BlockStoreBase):
         return self.backing.get_stored_block(block_hash)
 
     def decompress_stored_block(self, stored_block: StoredBlock) -> StoredBlock:
-        return decompress_block(stored_block)
+        # downsync job-graph path: ndarray payload, zero extra copies
+        return decompress_block(stored_block, as_array=True)
 
     def preflight_get(self, block_hashes) -> None:
         self.backing.preflight_get(block_hashes)
