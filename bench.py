@@ -559,6 +559,105 @@ def bench_device_decode(total_bytes: int) -> dict:
     }
 
 
+def bench_device_entropy(total_bytes: int) -> dict:
+    """The TPU Huffman entropy stage on the record: device-packed zstd
+    literal sections (ops/device_entropy.py) over text-like literal
+    streams — throughput, byte-identity with the host encoder on exact-
+    histogram sizes, and the full device-zstd block (TPU anchors + TPU
+    literals entropy + from-spec frame, no libzstd in the encode path)
+    vs libzstd level 3."""
+    from longtail_tpu.ops import zstd as _z
+    from longtail_tpu.ops import zstd_device, zstd_frame
+    from longtail_tpu.ops.device_entropy import encode_literals_device
+
+    rng = np.random.default_rng(13)
+    text = (b"the quick brown fox jumps over the lazy dog; "
+            b"pack my box with five dozen liquor jugs. " * 4000)
+    skew = rng.choice(np.arange(256), size=1 << 20,
+                      p=np.r_[np.full(16, 0.05),
+                              np.full(240, 0.2 / 240)]).astype(np.uint8)
+    sections = []
+    seg = 128 << 10                     # one zstd block's literals
+    stream = (text + skew.tobytes()) * 8
+    n = max(seg, min(total_bytes, len(stream)))
+    for off in range(0, n - seg + 1, seg):
+        sections.append(stream[off:off + seg])
+
+    # byte-identity on an exact-histogram size
+    probe = sections[0][: 48 << 10]
+    assert encode_literals_device(probe) == \
+        zstd_frame._encode_literals(probe)
+
+    # kernel throughput over DEVICE-RESIDENT literal streams (same
+    # convention as every other device mode: the rig's 40 MB/s host<->
+    # device tunnel is not production DMA and would mask all kernel
+    # work).  One dispatch packs a 32-stream batch; iterations roll the
+    # resident batch (any byte stream is valid pack input and the rig
+    # caches identical executions); one tiny fetch forces completion.
+    import jax
+    import jax.numpy as jnp
+
+    from longtail_tpu.ops.device_entropy import make_hufpack_fn
+    from longtail_tpu.ops.zstd_frame import build_huffman
+
+    S, seg_pad = 32, 128 << 10
+    lits_np = np.zeros((S, seg_pad), np.uint8)
+    for i in range(S):
+        lits_np[i] = np.frombuffer(
+            stream[i * seg_pad:(i + 1) * seg_pad], np.uint8)
+    freqs = np.bincount(lits_np.reshape(-1), minlength=256)
+    _, code_val, code_len = build_huffman(freqs.tolist())
+    min_len = min(l for l in code_len if l > 0)
+    mpw = 32 // max(min_len, 1) + 2
+    for bucket in (6, 10, 18, 34):
+        if mpw <= bucket:
+            mpw = bucket
+            break
+    cv = np.asarray(code_val + [0] * (256 - len(code_val)), np.int32)
+    cl = np.asarray(code_len + [0] * (256 - len(code_len)), np.int32)
+    fn = make_hufpack_fn(seg_pad, mpw, S)
+    lits_dev = jax.device_put(lits_np)
+    n_lit = jax.device_put(np.full((S,), seg_pad, np.int32))
+    roll = jax.jit(lambda x, k: jnp.roll(x, k, axis=1))
+    tot = jax.jit(lambda t: jnp.sum(t))
+    _ = np.asarray(tot(fn(lits_dev, n_lit, cv, cl)[1]))    # warm
+    iters = 8
+    t0 = time.perf_counter()
+    acc = None
+    for k in range(iters):
+        w, t = fn(roll(lits_dev, k + 1), n_lit, cv, cl)
+        acc = tot(t)
+    _ = np.asarray(acc)
+    dt = time.perf_counter() - t0
+    kernel_raw = iters * S * seg_pad
+    gbps = kernel_raw / dt / 1e9
+    comp = sum(len(encode_literals_device(s)) for s in sections)
+    raw = sum(len(s) for s in sections)
+    log(f"device literals entropy (resident batch): {gbps:.3f} GB/s; "
+        f"section ratio {raw / comp:.2f}x")
+
+    # full device-zstd block, no libzstd in the encode path
+    block = stream[: 4 << 20]
+    frame = zstd_device.compress_block(block)
+    assert zstd_frame.decompress(frame, len(block)) == block
+    result = {
+        "metric": "device_entropy_throughput",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+        "section_ratio": round(raw / comp, 2),
+        "device_zstd_ratio": round(len(block) / len(frame), 2),
+    }
+    if _z._load_native() is not None:
+        assert _z.decompress(frame, len(block)) == block
+        result["zstd_level3_ratio"] = round(
+            len(block) / len(_z.compress(block, 3)), 2)
+        log(f"device-zstd frame (TPU anchors + TPU entropy): ratio "
+            f"{result['device_zstd_ratio']}x vs host L3 "
+            f"{result['zstd_level3_ratio']}x (upstream-decode verified)")
+    return result
+
+
 def bench_compress(total_bytes: int) -> dict:
     """Host block-codec throughput (compress+decompress verify), LZ4 path."""
     from longtail_tpu.ops import lz4
@@ -679,7 +778,7 @@ def main() -> None:
                     choices=["chunk_hash_compress", "chunk_hash",
                              "mesh_chunk_hash", "compress",
                              "device_compress", "device_decode",
-                             "downsync"])
+                             "device_entropy", "downsync"])
     ap.add_argument("--target-chunk-size", type=int, default=32768)
     ap.add_argument("--batch-mib", type=int, default=256)
     ap.add_argument("--no-verify", action="store_true",
@@ -705,6 +804,8 @@ def main() -> None:
         result = bench_device_compress(total)
     elif args.mode == "device_decode":
         result = bench_device_decode(total)
+    elif args.mode == "device_entropy":
+        result = bench_device_entropy(total)
     else:
         result = bench_compress(total)
     print(json.dumps(result), flush=True)

@@ -180,10 +180,17 @@ def compress_sequences(src: bytes, seqs: np.ndarray,
     return dst[:int(r)].tobytes()
 
 
-def compress_block(src: bytes, level: int = 3) -> bytes:
-    """Full device-assisted path: TPU anchor scan (whole-block window) +
-    native sequence walk + libzstd entropy stage.  Falls back to the
-    plain host zstd compressor when any stage is unavailable."""
+def compress_block(src: bytes, level: int = 3,
+                   entropy: str = "device") -> bytes:
+    """Full device zstd path: TPU anchor scan (whole-block window) +
+    native sequence walk + entropy stage.
+
+    ``entropy`` selects the stage: "device" (default) routes literals
+    through the TPU Huffman pack and assembles the frame from spec
+    (ops/device_entropy.frame_from_sequences — no libzstd needed);
+    "libzstd" uses upstream ZSTD_compressSequences.  Either way the
+    output is a standard zstd frame.  Falls back to the plain host
+    compressor when a stage is unavailable."""
     from longtail_tpu.parallel.device_match import (
         _GPOS_BITS,
         fast_block_anchors,
@@ -194,7 +201,8 @@ def compress_block(src: bytes, level: int = 3) -> bytes:
     # larger block would silently wrap positions — correctness survives
     # (the host walk memcmp-rejects bad anchors) but the ratio collapses,
     # so oversized blocks take the host compressor instead
-    if n < (1 << 16) or n > (4 << _GPOS_BITS) or _zstd_api() is None:
+    if n < (1 << 16) or n > (4 << _GPOS_BITS) or (
+            entropy == "libzstd" and _zstd_api() is None):
         return _zstd.compress(src, level)
     import jax
 
@@ -211,6 +219,10 @@ def compress_block(src: bytes, level: int = 3) -> bytes:
         suppress_sampled_chains=False)
     keep = apos < n
     seqs = sequences_from_anchors(src, apos[keep], aref[keep])
+    if entropy == "device":
+        from longtail_tpu.ops.device_entropy import frame_from_sequences
+
+        return frame_from_sequences(src, seqs)
     out = compress_sequences(src, seqs, level)
     if out is None:
         return _zstd.compress(src, level)

@@ -1199,8 +1199,16 @@ def _encode_sequences(seqs, rep: list | None = None) -> bytes:
     return hdr + bw.close()
 
 
-def compress(data: bytes, level: int = 3) -> bytes:
-    """Encode `data` as a single zstd frame (single-segment, known size)."""
+def compress(data: bytes, level: int = 3,
+             encode_literals=None) -> bytes:
+    """Encode `data` as a single zstd frame (single-segment, known size).
+
+    ``encode_literals``: optional replacement for the literals-section
+    encoder (same contract as ``_encode_literals``) — the seam the TPU
+    Huffman stage (ops/device_entropy.encode_literals_device) plugs
+    into."""
+    if encode_literals is None:
+        encode_literals = _encode_literals
     n = len(data)
     out = bytearray(MAGIC.to_bytes(4, "little"))
     if n <= 255:
@@ -1244,7 +1252,7 @@ def compress(data: bytes, level: int = 3) -> bytes:
         lits += data[lit_tail:pos + blen]
         rep_try = list(rep)
         try:
-            payload = _encode_literals(bytes(lits)) + \
+            payload = encode_literals(bytes(lits)) + \
                 _encode_sequences(seqs, rep_try)
         except ZstdError:
             payload = None

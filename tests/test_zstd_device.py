@@ -25,13 +25,19 @@ def _corpus(n):
                     reason="libzstd ZSTD_compressSequences unavailable")
 def test_device_zstd_roundtrips_and_beats_level3_window():
     src = _corpus(4 << 20)
+    host3 = zstd.compress(src, 3)
+    # default tier: TPU anchors + TPU Huffman literals + from-spec frame
+    # (no libzstd in the encode path).  Predefined FSE sequence tables
+    # give up a hair vs libzstd's per-block optimal ones: within 0.5%.
     out = zstd_device.compress_block(src)
     assert zstd.decompress(out, len(src)) == src
     assert zstd_frame.decompress(out, len(src)) == src
-    host3 = zstd.compress(src, 3)
-    # the whole-block window catches the cross-unit repeats level 3's
-    # default window misses: device-assisted output must be no larger
-    assert len(out) <= len(host3), (len(out), len(host3))
+    assert len(out) <= 1.005 * len(host3), (len(out), len(host3))
+    # libzstd entropy tier: the whole-block window catches the
+    # cross-unit repeats level 3's default window misses — no larger
+    out2 = zstd_device.compress_block(src, entropy="libzstd")
+    assert zstd.decompress(out2, len(src)) == src
+    assert len(out2) <= len(host3), (len(out2), len(host3))
 
 
 @pytest.mark.skipif(zstd_device._zstd_api() is None,
