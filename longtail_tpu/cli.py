@@ -287,14 +287,22 @@ def main(argv=None) -> int:
         log.set_level(args.log_level)
     except ValueError as e:
         p.error(str(e))
-    # fail fast on codec tags with no registered implementation (the
-    # reference registry covers all advertised names; until brotli lands we
-    # reject before any chunking work is spent)
+    # fail fast on codec tags whose backing is missing on this host
+    # (brotli tags are always registered so stored btl* blocks error
+    # clearly on read, but an upsync about to spend chunking work should
+    # reject up front)
     tag = COMPRESSION_NAMES.get(getattr(args, "compression_algorithm", ""))
-    if tag not in (None, C.COMPRESSION_TYPE_NONE) \
-            and tag not in supported_tags():
-        p.error(f"--compression-algorithm {args.compression_algorithm} "
-                "is not available (no codec registered for it on this host)")
+    if tag not in (None, C.COMPRESSION_TYPE_NONE):
+        if tag not in supported_tags():
+            p.error(f"--compression-algorithm {args.compression_algorithm} "
+                    "is not available (no codec registered on this host)")
+        if getattr(args, "compression_algorithm", "").startswith("brotli"):
+            from longtail_tpu.ops import brotli as _b
+            if not _b.available():
+                p.error(f"--compression-algorithm "
+                        f"{args.compression_algorithm} needs the system "
+                        "libbrotli (libbrotlienc/libbrotlidec), which is "
+                        "not installed on this host")
     if args.detailed_progress:
         from longtail_tpu.utils.detailed_progress import \
             TerminalDetailedProgress

@@ -137,8 +137,16 @@ def change_version(block_store, version_storage: Storage,
                    diff: VersionDiff | None = None,
                    retain_permissions_flag: bool = True,
                    workers: int = 8, cancel_token=None,
+                   block_indexes=None,
                    progress=null_progress) -> None:
-    """Longtail_ChangeVersion2 (src/longtail.c:8720)."""
+    """Longtail_ChangeVersion2 (src/longtail.c:8720).
+
+    ``block_indexes``: restrict the block scatter jobs to these store-
+    index block positions (the multi-process sharded downsync deals
+    blocks round-robin, parallel/multihost.downsync_sharded); directory/
+    zero-size-asset creation and file pre-sizing stay on every process
+    (idempotent), cleanup and permission retention are the caller's
+    responsibility to run once."""
     target = target_version_index
     if source_version_index is not None and diff is None:
         diff = create_version_diff(source_version_index, target)
@@ -189,6 +197,9 @@ def change_version(block_store, version_storage: Storage,
         version_storage.write_ranges(full, int(target.asset_sizes[a]), [])
 
     per_block = _build_block_write_infos(target, store_index, chunked_assets)
+    if block_indexes is not None:
+        keep = set(int(b) for b in block_indexes)
+        per_block = {b: v for b, v in per_block.items() if b in keep}
     total = len(per_block)
 
     raw_fetch = getattr(block_store, "get_stored_block_raw", None) or \

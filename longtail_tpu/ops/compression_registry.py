@@ -86,7 +86,12 @@ def register_codec(codec) -> None:
 
 class BrotliCodec:
     """Generic/text x min/default/max tiers (lib/brotli/longtail_brotli.c:
-    24-30).  Registered only when the system libbrotli is present."""
+    24-30).  ALWAYS registered: the reference always ships brotli
+    (vendored 1.1), so reference-written stores may carry btl* blocks on
+    any host.  Without the system libbrotli a btl* block fails with a
+    clear actionable error instead of the pre-round-5 silent
+    tag-not-registered path, which returned compressed bytes as if raw
+    — data corruption, not an error."""
 
     tags = (C.COMPRESSION_TYPE_BROTLI_GENERIC_MIN,
             C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT,
@@ -104,23 +109,29 @@ class BrotliCodec:
              C.COMPRESSION_TYPE_BROTLI_TEXT_DEFAULT,
              C.COMPRESSION_TYPE_BROTLI_TEXT_MAX)
 
-    def compress(self, tag: int, data: bytes) -> bytes:
+    def _require(self, tag: int):
         from longtail_tpu.ops import brotli
+        if not brotli.available():
+            raise RuntimeError(
+                f"block uses brotli compression tag {tag:#010x} (btl*)"
+                " but the system libbrotli (libbrotlienc/libbrotlidec) is"
+                " not installed on this host — install libbrotli to read"
+                " or write brotli-tagged stores")
+        return brotli
+
+    def compress(self, tag: int, data: bytes) -> bytes:
+        brotli = self._require(tag)
         return brotli.compress(data, self._quality.get(tag, 8),
                                text_mode=tag in self._text)
 
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
-        from longtail_tpu.ops import brotli
+        brotli = self._require(tag)
         return brotli.decompress(data, raw_size)
 
 
 register_codec(Lz4Codec())
 register_codec(ZstdCodec())
-
-from longtail_tpu.ops import brotli as _brotli  # noqa: E402
-
-if _brotli.available():
-    register_codec(BrotliCodec())
+register_codec(BrotliCodec())
 
 
 def get_codec(tag: int):

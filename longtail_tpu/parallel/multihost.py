@@ -209,6 +209,50 @@ def upsync_sharded(source_storage, source_root: str, block_store,
     return version_index, store_algebra.merge_store_index(missing, existing)
 
 
+def downsync_sharded(block_store, target_storage, target_root: str,
+                     version_index,
+                     min_block_usage_percent: int = 0,
+                     retain_permissions: bool = True,
+                     workers: int = 8, progress=null_progress) -> None:
+    """N-process reconstruction into a SHARED target filesystem: every
+    process computes the same deterministic plan (store coverage for the
+    version's chunks), blocks are dealt round-robin by index, each
+    process fetch->decode->scatters only its own slice, and permissions
+    are retained once after the barrier.  The distributed serve-side
+    story the reference (single-node) has no analog for; SURVEY §2.5.
+
+    The target must be reachable from every process (the same shared-
+    filesystem deployment upsync_sharded assumes).  Pre-sizing and
+    directory creation are idempotent, so processes need no coordination
+    beyond the plan-snapshot barrier and the completion barrier."""
+    from longtail_tpu.core.change import change_version
+
+    pid, nproc = process_info()
+    # other processes may have merged blocks into the store since this
+    # process cached its index view (e.g. a sharded upsync just before)
+    reload = getattr(block_store, "reload_index", None)
+    if reload is not None:
+        reload()
+    store_index = block_store.get_existing_content(
+        version_index.chunk_hashes, min_block_usage_percent)
+    # the plan must be identical everywhere: snapshot before any process
+    # mutates the target (a racing rebuild-by-scan could otherwise see
+    # different store states)
+    barrier("downsync-plan-snapshot")
+    mine = range(pid, store_index.block_count, nproc)
+    change_version(block_store, target_storage, version_index,
+                   store_index, target_root,
+                   retain_permissions_flag=False,
+                   workers=workers, block_indexes=mine,
+                   progress=progress)
+    barrier("downsync-content")
+    if pid == 0 and retain_permissions:
+        from longtail_tpu.core.change import retain_permissions as _rp
+
+        _rp(target_storage, version_index, target_root)
+    barrier("downsync-done")
+
+
 def _dryrun_main() -> None:
     """One process of the 2-process CPU dryrun (spawned by
     __graft_entry__.dryrun_multichip / tests/test_multihost.py).
@@ -240,6 +284,12 @@ def _dryrun_main() -> None:
     if process_info()[0] == 0:
         with open(os.environ["LT_MH_LVI"], "wb") as f:
             f.write(vi.to_bytes())
+    barrier("dryrun-upsync-done")
+    # the serve direction, sharded over the same two processes: blocks
+    # dealt round-robin, scatters into one shared target
+    out = os.environ.get("LT_MH_OUT")
+    if out:
+        downsync_sharded(store, st, out, vi, workers=4)
     barrier("dryrun-done")
 
 

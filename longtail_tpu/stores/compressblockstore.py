@@ -93,6 +93,11 @@ class CompressBlockStore(BlockStoreBase):
     def prune_blocks(self, keep_block_hashes) -> int:
         return self.backing.prune_blocks(keep_block_hashes)
 
+    def reload_index(self) -> None:
+        f = getattr(self.backing, "reload_index", None)
+        if f is not None:
+            f()
+
     def flush(self) -> None:
         self.backing.flush()
         self.stats.bump("flush_count")

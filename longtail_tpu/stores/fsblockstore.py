@@ -187,6 +187,16 @@ class FSBlockStore(BlockStoreBase):
         self._write_index_locked(current, replace=False)
         self.stats.bump("flush_count")
 
+    def reload_index(self) -> None:
+        """Drop the cached in-memory index so the next read re-loads
+        ``store.lsi`` from disk — required when ANOTHER process has
+        merged blocks into the store since this instance cached its view
+        (the multi-process sharded upsync/downsync handoff,
+        parallel/multihost.py).  Pending local additions flush first."""
+        self.flush()
+        with self._lock:
+            self._index = None
+
     def _write_index_locked(self, index: StoreIndex, replace: bool) -> None:
         lock_path = self._p("store.lsi.sync")
         ensure_parent_dirs(self.storage, lock_path)

@@ -230,12 +230,23 @@ class FSStorage:
 
     def scan_dir(self, path: str) -> list[tuple[str, bool, int, int]]:
         """Single-pass (name, is_dir, size, permissions) listing: one
-        scandir + one stat per entry instead of three stats."""
+        scandir + one stat per entry instead of three stats.  Entries
+        that cannot be stat'd (dangling symlinks, raced deletions —
+        normal in real trees like /usr) are skipped, not fatal."""
         out = []
         with os.scandir(self._p(path)) as it:
             for e in it:
-                st = e.stat()
-                is_dir = e.is_dir()
+                try:
+                    if e.is_symlink():
+                        # never follow: a symlinked dir double-counts (or
+                        # loops) the scan, and a reconstructed tree would
+                        # materialize copies where links were
+                        continue
+                    st = e.stat()
+                    is_dir = e.is_dir()
+                except OSError:
+                    # dangling/raced entries are normal in real trees
+                    continue
                 out.append((e.name, is_dir, 0 if is_dir else st.st_size,
                             stat_mod.S_IMODE(st.st_mode)))
         out.sort()

@@ -61,6 +61,7 @@ def run_two_process_upsync(tmp: str, timeout: int = 300) -> None:
     port = _free_port()
     store_m = os.path.join(tmp, "store_m")
     lvi_m = os.path.join(tmp, "vm.lvi")
+    out_m = os.path.join(tmp, "out_m")
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -69,6 +70,7 @@ def run_two_process_upsync(tmp: str, timeout: int = 300) -> None:
         LT_MH_SRC=src,
         LT_MH_STORE=store_m,
         LT_MH_LVI=lvi_m,
+        LT_MH_OUT=out_m,
         LT_MH_TCS="1024",
     )
     env.pop("XLA_FLAGS", None)   # one CPU device per process is fine
@@ -112,12 +114,23 @@ def run_two_process_upsync(tmp: str, timeout: int = 300) -> None:
     from longtail_tpu.formats.version_index import VersionIndex
     api.downsync(store2, st, out_dir, VersionIndex.from_bytes(lvi_mesh),
                  workers=4)
-    for r, _, fs in os.walk(src):
-        for f in fs:
-            a = os.path.join(r, f)
-            b = os.path.join(out_dir, os.path.relpath(a, src))
-            with open(a, "rb") as fa, open(b, "rb") as fb:
-                assert fa.read() == fb.read(), a
+
+    def assert_tree_equal(got_root):
+        n = 0
+        for r, _, fs in os.walk(src):
+            for f in fs:
+                a = os.path.join(r, f)
+                b = os.path.join(got_root, os.path.relpath(a, src))
+                with open(a, "rb") as fa, open(b, "rb") as fb:
+                    assert fa.read() == fb.read(), a
+                n += 1
+        assert n > 0
+
+    assert_tree_equal(out_dir)
+    # the SHARDED downsync (blocks dealt over the two processes into one
+    # shared target, multihost.downsync_sharded) must reconstruct the
+    # identical tree
+    assert_tree_equal(out_m)
 
 
 def test_two_process_upsync_matches_single(tmp_path):
