@@ -213,13 +213,19 @@ def chunk_part(data: np.ndarray, min_size: int, avg_size: int,
 
 
 # ---------------------------------------------------------------------------
-# Sequential oracle: a direct transliteration of the reference semantics used
-# only in tests to validate the two-phase algorithm on adversarial inputs.
+# Sequential oracle (TEST-ONLY, never in the product path): an independent
+# re-expression of the published HPCDC semantics — 48-byte ring buffer,
+# update h' = rotl(h,1) ^ rotl(T[out],16) ^ T[in], cut when h % d == d-1
+# within [min, max] — used to validate the two-phase window-function
+# algorithm (candidate_positions + resolve_cuts above, which derive the
+# same hash as a pure 48-tap XOR of rotated table values) on adversarial
+# inputs.  Both formulations are pinned against the reference's golden
+# chunker.input boundaries in tests/test_chunker.py.
 # ---------------------------------------------------------------------------
 
 def chunk_part_sequential(data: bytes, min_size: int, avg_size: int,
                           max_size: int) -> list[int]:
-    """Bit-exact sequential walk (buffer mode,
+    """Bit-exact sequential walk (buffer-mode semantics per
     lib/hpcdcchunker/longtail_hpcdcchunker.c:452-523). Returns end offsets."""
     d = discriminator_from_avg(float(avg_size))
     table = [int(x) for x in HASH_TABLE]

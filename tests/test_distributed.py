@@ -14,13 +14,32 @@ def test_dryrun_multichip_8():
 
 
 def test_entry_compiles():
+    """entry() is the production Pallas plane as one jittable step:
+    (sizes, n_chunks, lane-0 BLAKE3 lo/hi) — checked vs the host oracle."""
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    ends, sizes, lo, hi = out
-    assert ends.shape == sizes.shape
+    sizes, n, lo, hi = [np.asarray(x) for x in out]
+    assert sizes.shape[0] == n.shape[0]
     assert lo.shape == hi.shape
+
+    from longtail_tpu.ops import blake3, cdc
+    from longtail_tpu.parallel.device_chunker import ChunkerConfig
+
+    cfg = ChunkerConfig.from_target(1024)
+    rows_u8, lengths = args
+    B, P = n.shape[0], rows_u8.size // n.shape[0]
+    flat = rows_u8.reshape(-1)
+    data0 = flat[: int(lengths[0])]
+    ends0 = cdc.chunk_part(data0, cfg.min_size, cfg.avg_size, cfg.max_size)
+    ref_sizes = np.diff(np.concatenate([[0], ends0]))
+    np.testing.assert_array_equal(sizes[0, : n[0]], ref_sizes)
+    st0 = np.concatenate([[0], ends0[:-1]]).astype(np.int64)
+    want = blake3.hash64_ranges(data0, st0, ref_sizes.astype(np.int64))
+    got = lo[: len(ref_sizes)].astype(np.uint64) | (
+        hi[: len(ref_sizes)].astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_sharded_matches_unsharded():
