@@ -365,7 +365,8 @@ def bench_mesh_chunk_hash(total_bytes: int, target_chunk_size: int) -> dict:
     from longtail_tpu.parallel.pipeline import MeshPartIndexer
 
     devices = jax.devices()
-    mesh_ix = MeshPartIndexer(target_chunk_size, devices, prewarm=True)
+    mesh_ix = MeshPartIndexer(target_chunk_size, devices, prewarm=True,
+                              batch_bytes_per_dev=256 << 20)
     n = len(devices)
     B, P = mesh_ix.indexers[0].lanes, mesh_ix.part_bytes
     batch_bytes = B * P
