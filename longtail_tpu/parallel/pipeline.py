@@ -186,9 +186,12 @@ def _pack_callable(padded: int, rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # 8 rows per grid step: the output block sublane dim must be a multiple
-    # of 8, and batching the DMAs keeps the DMA engine busy.
-    R = 8
+    # 32 rows per grid step (8 for tiny row counts): the output block
+    # sublane dim must be a multiple of 8, batching the DMAs keeps the
+    # DMA engine busy, and a wide step amortizes the fixed per-grid-step
+    # cost (the same overhead that dominated the walk kernel; 8-row
+    # steps measured ~4.4 us/step for ~1 us of work).
+    R = 32 if rows % 32 == 0 else 8
     assert rows % R == 0
     P4 = padded // 4          # payload words per row
     L = 128                   # words per window row (one 8x128 i32 tile
