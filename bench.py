@@ -592,41 +592,41 @@ def bench_device_entropy(total_bytes: int) -> dict:
     # kernel throughput over DEVICE-RESIDENT literal streams (same
     # convention as every other device mode: the rig's 40 MB/s host<->
     # device tunnel is not production DMA and would mask all kernel
-    # work).  One dispatch packs a 32-stream batch; iterations roll the
-    # resident batch (any byte stream is valid pack input and the rig
-    # caches identical executions); one tiny fetch forces completion.
+    # work).  One dispatch packs a 64-stream batch via the Pallas
+    # bit-merge kernel; iterations cycle 4 pre-staged resident batches
+    # (distinct inputs — the rig caches identical executions — without
+    # paying an on-device roll per iteration, which costs as much as
+    # the pack itself); one tiny fetch forces completion.
     import jax
     import jax.numpy as jnp
 
-    from longtail_tpu.ops.device_entropy import make_hufpack_fn
+    from longtail_tpu.ops.entropy_kernel import (
+        make_hufpack_rows_fn,
+        pack_code_table,
+    )
     from longtail_tpu.ops.zstd_frame import build_huffman
 
-    S, seg_pad = 32, 128 << 10
-    lits_np = np.zeros((S, seg_pad), np.uint8)
-    for i in range(S):
-        lits_np[i] = np.frombuffer(
-            stream[i * seg_pad:(i + 1) * seg_pad], np.uint8)
-    freqs = np.bincount(lits_np.reshape(-1), minlength=256)
+    S, seg_pad = 64, 128 << 10
+    big = (stream * (S * seg_pad // len(stream) + 1))[: S * seg_pad]
+    lits_np = np.frombuffer(big, np.uint8).reshape(S, seg_pad)
+    freqs = np.bincount(lits_np[:4].reshape(-1), minlength=256)
     _, code_val, code_len = build_huffman(freqs.tolist())
-    min_len = min(l for l in code_len if l > 0)
-    mpw = 32 // max(min_len, 1) + 2
-    for bucket in (6, 10, 18, 34):
-        if mpw <= bucket:
-            mpw = bucket
-            break
-    cv = np.asarray(code_val + [0] * (256 - len(code_val)), np.int32)
-    cl = np.asarray(code_len + [0] * (256 - len(code_len)), np.int32)
-    fn = make_hufpack_fn(seg_pad, mpw, S)
-    lits_dev = jax.device_put(lits_np)
+    fn = make_hufpack_rows_fn(seg_pad, S)
+    tv = jax.device_put(pack_code_table(np.asarray(code_val),
+                                        np.asarray(code_len)))
+    bufs = [jax.device_put(np.roll(lits_np, k, axis=0).reshape(-1, 128))
+            for k in range(4)]
     n_lit = jax.device_put(np.full((S,), seg_pad, np.int32))
-    roll = jax.jit(lambda x, k: jnp.roll(x, k, axis=1))
     tot = jax.jit(lambda t: jnp.sum(t))
-    _ = np.asarray(tot(fn(lits_dev, n_lit, cv, cl)[1]))    # warm
-    iters = 8
+    _ = np.asarray(tot(fn(bufs[0], n_lit, tv)[1]))         # warm
+    for k in range(12):                                    # ramp the rig
+        _, t = fn(bufs[k % 4], n_lit, tv)
+    _ = np.asarray(tot(t))
+    iters = 16
     t0 = time.perf_counter()
     acc = None
     for k in range(iters):
-        w, t = fn(roll(lits_dev, k + 1), n_lit, cv, cl)
+        w, t = fn(bufs[k % 4], n_lit, tv)
         acc = tot(t)
     _ = np.asarray(acc)
     dt = time.perf_counter() - t0

@@ -76,6 +76,36 @@ def device_histogram(lits: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=16)
 def make_hufpack_fn(n_pad: int, mpw: int, n_streams: int):
+    """(lits (S, n_pad) u8, n_lit (S,) i32, code_val (256,) i32,
+    code_len (256,) i32) -> (words (S, W) u32, total_bits (S,) i32).
+
+    On a TPU backend (and n_pad past the kernel's minimum) this is the
+    Pallas bit-merge kernel (ops/entropy_kernel.py) — the XLA scatter
+    formulation below measured ~0.03 GB/s on-chip vs ~2.4 GB/s for the
+    kernel; elsewhere the XLA scatter path serves as the oracle."""
+    import jax
+
+    from longtail_tpu.ops import entropy_kernel as ek
+
+    if (jax.default_backend() == "tpu"
+            and n_pad >= ek.MIN_PALLAS_PAD and n_pad % 128 == 0):
+        rows_fn = ek.make_hufpack_rows_fn(n_pad, n_streams)
+        W, _ = ek.words_pad(n_pad)
+
+        def fn(lits, n_lit, code_val, code_len):
+            rows = np.ascontiguousarray(np.asarray(lits)).reshape(
+                n_streams * (n_pad // 128), 128)
+            tv = ek.pack_code_table(np.asarray(code_val),
+                                    np.asarray(code_len))
+            words, totals = rows_fn(rows, np.asarray(n_lit), tv)
+            return words[:, :W], totals
+
+        return fn
+    return _make_hufpack_xla(n_pad, mpw, n_streams)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_hufpack_xla(n_pad: int, mpw: int, n_streams: int):
     """jit: (lits (S, n_pad) u8, n_lit (S,) i32, code_val (256,) i32,
     code_len (256,) i32) -> (words (S, W) u32, total_bits (S,) i32).
 

@@ -86,3 +86,37 @@ def test_blake3_kernel_on_tpu_known_answers():
         [blake3.hash64(data[r, : lengths[r]].tobytes())
          for r in range(0, rows, 37)], dtype=np.uint64)
     np.testing.assert_array_equal(got[::37], want)
+
+
+def test_entropy_pack_kernel_on_tpu():
+    """Compiled Pallas bit-merge entropy pack vs the host Huffman
+    bitstream, on the chip (CPU CI covers interpret mode only)."""
+    from longtail_tpu.ops.device_entropy import _make_hufpack_xla
+    from longtail_tpu.ops.entropy_kernel import (
+        make_hufpack_rows_fn, pack_code_table)
+    from longtail_tpu.ops.zstd_frame import build_huffman
+
+    rng = np.random.default_rng(11)
+    S, n_pad = 4, 8192
+    lits = rng.choice(
+        np.arange(256), size=(S, n_pad),
+        p=np.r_[np.full(8, 0.09), np.full(248, 0.28 / 248)]
+    ).astype(np.uint8)
+    n_lit = np.array([n_pad, n_pad - 257, n_pad, 1311], np.int32)
+    for s in range(S):
+        lits[s, n_lit[s]:] = 0
+    freqs = np.bincount(lits.reshape(-1), minlength=256)
+    _, code_val, code_len = build_huffman(freqs.tolist())
+    cv = np.zeros(256, np.int32)
+    cl = np.zeros(256, np.int32)
+    cv[: len(code_val)] = code_val
+    cl[: len(code_len)] = code_len
+    wx, tx = _make_hufpack_xla(n_pad, 6, S)(lits, n_lit, cv, cl)
+    wx, tx = np.asarray(wx), np.asarray(tx)
+    wp, tp = make_hufpack_rows_fn(n_pad, S)(
+        lits.reshape(-1, 128), n_lit, pack_code_table(cv, cl))
+    wp, tp = np.asarray(wp), np.asarray(tp)
+    np.testing.assert_array_equal(tx, tp)
+    for s in range(S):
+        nw = (int(tx[s]) + 31) // 32
+        np.testing.assert_array_equal(wx[s, :nw], wp[s, :nw])
