@@ -1,12 +1,14 @@
-"""Brotli codec via the system libbrotli (ctypes).
+"""Brotli codec: system libbrotli (ctypes) with a from-spec decode floor.
 
 The reference vendors upstream brotli 1.1 and wraps it as the 'btl'+
 {0,1,2,a,b,c} generic/text quality tiers (lib/brotli/longtail_brotli.c:24-30
 with quality/window settings :38-74).  We bind the same upstream library via
-ctypes rather than vendoring it; when libbrotli is not present the codec is
-simply not registered and the CLI rejects --compression-algorithm brotli*
-up front.  (zstd/LZ4, the production codecs, are from-scratch
-implementations — see ops/zstd_frame.py, ops/lz4.py.)
+ctypes for the encoder and the fast decode path; when libbrotli is absent,
+``decompress`` falls back to the from-spec RFC 7932 decoder
+(ops/brotli_decode.py) so reference-written brotli stores stay readable on
+any host, and the CLI rejects --compression-algorithm brotli* upsyncs up
+front (writing needs the encoder).  (zstd/LZ4, the production codecs, are
+from-scratch implementations — see ops/zstd_frame.py, ops/lz4.py.)
 """
 
 from __future__ import annotations
@@ -70,7 +72,10 @@ def compress(data: bytes, quality: int, text_mode: bool = False) -> bytes:
 def decompress(data: bytes, raw_size: int) -> bytes:
     _, dec = _load()
     if dec is None:
-        raise RuntimeError("libbrotli not available")
+        # interop floor: the from-spec RFC 7932 decoder keeps
+        # reference-written btl* stores readable without libbrotli
+        from longtail_tpu.ops import brotli_decode
+        return brotli_decode.decompress(data, raw_size)
     out = ctypes.create_string_buffer(max(raw_size, 1))
     out_len = ctypes.c_size_t(raw_size)
     rc = dec.BrotliDecoderDecompress(

@@ -88,10 +88,13 @@ class BrotliCodec:
     """Generic/text x min/default/max tiers (lib/brotli/longtail_brotli.c:
     24-30).  ALWAYS registered: the reference always ships brotli
     (vendored 1.1), so reference-written stores may carry btl* blocks on
-    any host.  Without the system libbrotli a btl* block fails with a
-    clear actionable error instead of the pre-round-5 silent
-    tag-not-registered path, which returned compressed bytes as if raw
-    — data corruption, not an error."""
+    any host.  Decompression always works — the system libbrotli when
+    present, else the from-spec RFC 7932 decoder (ops/brotli_decode.py)
+    — so reference-written brotli stores stay readable everywhere.
+    Compression (an encoder) still needs libbrotli; without it a btl*
+    upsync fails with a clear actionable error instead of the
+    pre-round-5 silent tag-not-registered path, which returned
+    compressed bytes as if raw — data corruption, not an error."""
 
     tags = (C.COMPRESSION_TYPE_BROTLI_GENERIC_MIN,
             C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT,
@@ -109,23 +112,19 @@ class BrotliCodec:
              C.COMPRESSION_TYPE_BROTLI_TEXT_DEFAULT,
              C.COMPRESSION_TYPE_BROTLI_TEXT_MAX)
 
-    def _require(self, tag: int):
+    def compress(self, tag: int, data: bytes) -> bytes:
         from longtail_tpu.ops import brotli
         if not brotli.available():
             raise RuntimeError(
                 f"block uses brotli compression tag {tag:#010x} (btl*)"
-                " but the system libbrotli (libbrotlienc/libbrotlidec) is"
-                " not installed on this host — install libbrotli to read"
-                " or write brotli-tagged stores")
-        return brotli
-
-    def compress(self, tag: int, data: bytes) -> bytes:
-        brotli = self._require(tag)
+                " but the system libbrotli (libbrotlienc) is not"
+                " installed on this host — install libbrotli to write"
+                " brotli-tagged stores (reading works without it)")
         return brotli.compress(data, self._quality.get(tag, 8),
                                text_mode=tag in self._text)
 
     def decompress(self, tag: int, data: bytes, raw_size: int) -> bytes:
-        brotli = self._require(tag)
+        from longtail_tpu.ops import brotli
         return brotli.decompress(data, raw_size)
 
 

@@ -143,12 +143,12 @@ def test_brotli_codec_roundtrip():
     assert out == data
 
 
-def test_brotli_tags_always_registered_with_clear_absence_error():
+def test_brotli_tags_always_registered_and_decodable_without_lib():
     """btl* tags register regardless of libbrotli (the reference always
-    vendors brotli, so its stores may carry btl* blocks anywhere); with
-    the library absent, decode raises a clear actionable error instead
-    of the silent tag-passthrough that returned compressed bytes as raw
-    (VERDICT r4 missing #4)."""
+    vendors brotli, so its stores may carry btl* blocks anywhere).
+    Decode works even with the library absent — the from-spec RFC 7932
+    decoder (ops/brotli_decode.py) takes over — while compression
+    raises a clear actionable error (VERDICT r4 missing #4)."""
     import pytest
 
     from longtail_tpu.formats import constants as C
@@ -164,15 +164,17 @@ def test_brotli_tags_always_registered_with_clear_absence_error():
 
     tag = C.COMPRESSION_TYPE_BROTLI_GENERIC_DEFAULT
     codec = get_codec(tag)
+    raw = b"hello brotli " * 100
+    comp = None
     if brotli.available():
-        comp = codec.compress(tag, b"hello brotli " * 100)
-        assert codec.decompress(tag, comp, 1300) == b"hello brotli " * 100
+        comp = codec.compress(tag, raw)
+        assert codec.decompress(tag, comp, len(raw)) == raw
     # simulate a host without libbrotli
     saved = brotli._enc, brotli._dec
     try:
         brotli._enc = brotli._dec = False
-        with pytest.raises(RuntimeError, match="libbrotli"):
-            codec.decompress(tag, b"\x00" * 16, 64)
+        if comp is not None:          # from-spec decode floor
+            assert codec.decompress(tag, comp, len(raw)) == raw
         with pytest.raises(RuntimeError, match="libbrotli"):
             codec.compress(tag, b"data")
     finally:
