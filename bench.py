@@ -606,7 +606,7 @@ def bench_device_entropy(total_bytes: int) -> dict:
     )
     from longtail_tpu.ops.zstd_frame import build_huffman
 
-    S, seg_pad = 64, 128 << 10
+    S, seg_pad = 128, 128 << 10
     big = (stream * (S * seg_pad // len(stream) + 1))[: S * seg_pad]
     lits_np = np.frombuffer(big, np.uint8).reshape(S, seg_pad)
     freqs = np.bincount(lits_np[:4].reshape(-1), minlength=256)
