@@ -119,7 +119,11 @@ def make_hufpack_rows_fn(n_pad: int, n_streams: int, _stage: int = 3):
     code table) -> (words (S, W128*128) u32, totals (S, 1) i32).
 
     words[s].reshape(-1)[:W] is the backward Huffman bitstream of
-    stream s (host appends the sentinel); totals[s] its bit length."""
+    stream s (host appends the sentinel); totals[s] its bit length.
+
+    ``_stage`` gates the kernel for on-chip stage profiling (-1 grid
+    only, 0 cumsums, 1 +windows, 2 +merge tree, 3 full — the default;
+    lower stages emit placeholder output, production always uses 3)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
