@@ -25,18 +25,22 @@ fan-in) is needed:
   no scatter.
 
 - **Batched merge tree.**  Row windows pair up level by level until one
-  window per tile remains: the hi partner shifts up by the word gap
-  (log roll ladders — lane rolls masked by the broadcast gap, sublane
-  rolls with an iota-AND window-boundary guard) and ORs over the lo
+  window per tile remains: the hi partner shifts up by the word gap —
+  the per-window lane shift is ONE same-shape take_along_axis gather
+  (level arrays stay >= (2,128), the shape Mosaic's gather supports;
+  measured 1.5x faster than a 7-step conditional roll ladder), the row
+  shift a log roll ladder over sublanes with an iota-AND window-
+  boundary guard (row counts pow2: exact heights measured SLOWER —
+  non-pow2 sublane shapes fight the vreg layout) — and ORs over the lo
   partner.  All windows of a level live in one window-major array, so
   every op is a large vector op; the tile window then ORs into the
   VMEM-resident output stream with a single dynamic read-OR-write.
   (Measured alternatives on-chip: per-row dynamic stores in a fori cost
   ~4.4 us/row; a list-of-small-rows tree ~100 ns per tiny op — both
   orders of magnitude off; the batched tree packs 128 KiB streams at
-  ~2.4 GB/s in 16 MiB dispatches.)  Tiles are walked in reverse stream
-  order behind a scalar bit-carry; word overlap between adjacent tiles
-  is handled by the OR (their bits are disjoint by construction).
+  ~3.8-4.0 GB/s in 16 MiB dispatches.)  Tiles are walked in reverse
+  stream order behind a scalar bit-carry; word overlap between adjacent
+  tiles is handled by the OR (their bits are disjoint by construction).
 
 Output contract matches device_entropy.make_hufpack_fn: words hold the
 exact host ``_huf_encode_stream`` bit pattern (sentinel excluded — the
@@ -283,9 +287,11 @@ def make_hufpack_rows_fn(n_pad: int, n_streams: int, _stage: int = 3):
             lanez = jax.lax.broadcasted_iota(i32, (gh * ho, 128), 1)
             wr = jax.lax.broadcasted_iota(
                 i32, (gh * ho, 128), 0) & (ho - 1)     # row in window
-            for b in (1, 2, 4, 8, 16, 32, 64):
-                ev = jnp.where((dl & b) != 0,
-                               pltpu.roll(ev, b, axis=1), ev)
+            # per-window lane shift as ONE same-shape gather (all
+            # level arrays here are >= (2,128); Mosaic supports the
+            # equal-shape 2D take_along_axis) — measured faster than a
+            # 7-step conditional roll ladder
+            ev = jnp.take_along_axis(ev, (lanez - dl) & 127, axis=1)
             dr = drow >> 7
             b = 1
             while b <= (maxd >> 7):
@@ -309,8 +315,8 @@ def make_hufpack_rows_fn(n_pad: int, n_streams: int, _stage: int = 3):
         R0 = wbT >> 7
         qoff = wbT & 127
         F = A[:HF, :]                                  # (HF, 128)
-        for b in (1, 2, 4, 8, 16, 32, 64):
-            F = jnp.where((qoff & b) != 0, pltpu.roll(F, b, axis=1), F)
+        laneH = jax.lax.broadcasted_iota(i32, (HF, 128), 1)
+        F = jnp.take_along_axis(F, (laneH - qoff) & 127, axis=1)
         z1 = jnp.zeros((1, 128), u32)
         lo_rows = jnp.concatenate([F, z1], axis=0)     # (HF+1, 128)
         up_rows = jnp.concatenate([z1, F], axis=0)

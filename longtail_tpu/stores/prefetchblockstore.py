@@ -12,6 +12,14 @@ falls through).  The residency bound caps peak memory at
 ``max_resident`` undelivered blocks — the analog of the reference's
 in-flight cap, and the lever behind its 0.4.1 peak-memory fix
 (CHANGELOG.md:73-76).
+
+The bound is enforced by capping SUBMITTED-undelivered futures (each
+delivery submits the next pending hash), never by blocking a worker on
+a semaphore: with workers parked on permits, a permit released by the
+consumer can be barged by a later task (CPython semaphores are not
+FIFO under contention), and once every permit is held by done-but-
+undelivered later blocks the earliest block can never fetch — a real
+deadlock this module shipped with until a suite run wedged on it.
 """
 
 from __future__ import annotations
@@ -32,38 +40,39 @@ class PrefetchBlockStore(BlockStoreBase):
         self.backing = backing
         self._pool = ThreadPoolExecutor(
             max_workers=workers, thread_name_prefix="block-prefetch")
-        self._resident = threading.Semaphore(max_resident)
+        self._max_resident = max_resident
         self._lock = threading.Lock()
         self._futures: OrderedDict[int, Future] = OrderedDict()
+        self._pending: OrderedDict[int, None] = OrderedDict()
 
-    def _fetch(self, block_hash: int) -> StoredBlock:
-        # acquired inside the worker: beyond max_resident undelivered
-        # blocks, workers park here instead of buffering more memory
-        self._resident.acquire()
-        try:
-            return self.backing.get_stored_block(block_hash)
-        except BaseException:
-            self._resident.release()
-            raise
+    def _submit_next_locked(self) -> None:
+        while self._pending and len(self._futures) < self._max_resident:
+            h, _ = self._pending.popitem(last=False)
+            self._futures[h] = self._pool.submit(
+                self.backing.get_stored_block, h)
 
     def preflight_get(self, block_hashes) -> None:
         self.stats.bump("preflight_count")
         with self._lock:
             for h in np.asarray(block_hashes, dtype=np.uint64):
                 h = int(h)
-                if h not in self._futures:
-                    self._futures[h] = self._pool.submit(self._fetch, h)
+                if h not in self._futures and h not in self._pending:
+                    self._pending[h] = None
+            self._submit_next_locked()
 
     def get_stored_block(self, block_hash: int) -> StoredBlock:
+        h = int(block_hash)
         with self._lock:
-            fut = self._futures.pop(int(block_hash), None)
+            fut = self._futures.pop(h, None)
+            if fut is None:
+                # not in flight: a queued-but-unsubmitted prefetch (or
+                # never preflighted) fetches directly
+                self._pending.pop(h, None)
+            else:
+                self._submit_next_locked()   # a residency slot freed
         if fut is None:
-            return self.backing.get_stored_block(block_hash)
-        try:
-            block = fut.result()
-        except BaseException:
-            raise
-        self._resident.release()
+            return self.backing.get_stored_block(h)
+        block = fut.result()
         self.stats.bump("get_stored_block_count")
         return block
 
@@ -72,11 +81,11 @@ class PrefetchBlockStore(BlockStoreBase):
         with self._lock:
             futures = list(self._futures.values())
             self._futures.clear()
+            self._pending.clear()
         for fut in futures:
             if not fut.cancel():
                 try:
                     fut.result()
-                    self._resident.release()
                 except BaseException:
                     pass
 

@@ -102,20 +102,34 @@ def test_share_store_coalesces_concurrent_gets():
 
     from longtail_tpu.stores.shareblockstore import ShareBlockStore
 
-    inner = SlowStore(latency=0.1)
+    inner = SlowStore()
     inner.add(42)
     calls = []
+    arrived = threading.Event()
     orig = inner.get_stored_block
 
     def counting_get(h):
+        # hold the backing fetch open until every thread has joined the
+        # waiter list — a latency-window race flaked under load
         calls.append(h)
+        assert arrived.wait(timeout=30)
         return orig(h)
 
     inner.get_stored_block = counting_get
     store = ShareBlockStore(inner)
     with ThreadPoolExecutor(max_workers=16) as pool:
-        results = list(pool.map(
-            lambda _: store.get_stored_block(42), range(16)))
+        futs = [pool.submit(store.get_stored_block, 42)
+                for _ in range(16)]
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with store._lock:
+                req = store._in_flight.get(42)
+                n = len(req.event._cond._waiters) if req else 0
+            if calls and n >= 15:
+                break
+            time.sleep(0.002)
+        arrived.set()
+        results = [f.result() for f in futs]
     assert len(calls) == 1, f"backing saw {len(calls)} fetches"
     assert all(r.block_index.block_hash == 42 for r in results)
     # sequential get after completion fetches again (no stale cache)
@@ -141,3 +155,27 @@ def test_share_store_propagates_errors_to_all_waiters():
     with ThreadPoolExecutor(max_workers=8) as pool:
         errors = list(pool.map(attempt, range(8)))
     assert all(isinstance(e, KeyError) for e in errors)
+
+
+def test_in_order_drain_never_wedges():
+    """Regression: the semaphore formulation could deadlock — a permit
+    released by the consumer could be barged by a later parked task
+    (CPython semaphores are not FIFO), and once all permits were held
+    by done-but-undelivered later blocks the earliest block could never
+    fetch.  Hammer the exact shape that wedged: in-order drain with a
+    tiny residency cap and more workers than permits."""
+    def drain_all():
+        for _ in range(15):
+            inner = SlowStore(latency=0.0005)
+            hashes = list(range(1, 41))
+            for h in hashes:
+                inner.add(h)
+            store = PrefetchBlockStore(inner, workers=4, max_resident=2)
+            store.preflight_get(np.array(hashes, np.uint64))
+            for h in hashes:
+                assert store.get_stored_block(h).block_index.block_hash == h
+
+    t = threading.Thread(target=drain_all, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "prefetch drain wedged (residency deadlock)"
