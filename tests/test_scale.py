@@ -68,27 +68,27 @@ def test_asset_part_lookup_scales(million):
     from longtail_tpu.core.write import create_asset_part_lookup
 
     vi, _ = million
-    t0 = time.perf_counter()
+    t0 = time.process_time()          # CPU time: immune to co-tenants
     lookup = create_asset_part_lookup(vi)
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     assert len(lookup) == vi.chunk_count
     a, off, size = lookup[int(vi.chunk_hashes[12345])]
     assert size == 1000
-    assert dt < 3.0, f"asset part lookup took {dt:.2f}s"
+    assert dt < 3.0, f"asset part lookup took {dt:.2f}s CPU"
 
 
 def test_block_write_infos_scale(million):
     from longtail_tpu.core.change import _build_block_write_infos
 
     vi, si = million
-    t0 = time.perf_counter()
+    t0 = time.process_time()          # CPU time: immune to co-tenants
     per_block = _build_block_write_infos(
         vi, si, np.arange(vi.asset_count, dtype=np.int64))
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     assert len(per_block) == si.block_count
     n_writes = sum(len(v[0]) for v in per_block.values())
     assert n_writes == vi.chunk_count
-    assert dt < 3.0, f"block write plan took {dt:.2f}s"
+    assert dt < 3.0, f"block write plan took {dt:.2f}s CPU"
 
 
 def test_block_write_infos_matches_oracle():
@@ -138,9 +138,9 @@ def test_required_chunk_hashes_scale(million):
         source_permissions_modified_asset_indexes=z,
         target_permissions_modified_asset_indexes=z,
     )
-    t0 = time.perf_counter()
+    t0 = time.process_time()          # CPU time: immune to co-tenants
     req = get_required_chunk_hashes(vi, diff)
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     assert len(req) == vi.chunk_count
     # first-seen order: the first asset's chunks lead
     assert req[0] == vi.chunk_hashes[int(vi.asset_chunks(0)[0])]
@@ -151,8 +151,8 @@ def test_existing_store_index_scales(million):
     from longtail_tpu.core.dedup import get_existing_store_index
 
     vi, si = million
-    t0 = time.perf_counter()
+    t0 = time.process_time()          # CPU time: immune to co-tenants
     sub = get_existing_store_index(si, vi.chunk_hashes[: 200_000])
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     assert sub.block_count > 0
     assert dt < 10.0, f"existing store index took {dt:.2f}s"
